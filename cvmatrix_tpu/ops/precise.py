@@ -1,0 +1,201 @@
+"""High-precision ``A^T @ B`` contractions for TPU.
+
+Why this module exists
+----------------------
+The reference engine (``/root/reference/cvmatrix/cvmatrix.py:1215-1217`` for the
+fit products, ``:1001`` for the per-fold downdate products) runs in NumPy
+float64, and its test contract demands 1e-8-level agreement. TPUs have no
+float64 MXU: XLA *emulates* float64 elementwise ops accurately (double-word
+f32 pairs), but lowers float64 ``dot`` to an ~f32-accurate MXU pass
+(measured ~6e-8 relative error). Elementwise/reduce float64 is ~1e-15
+accurate. So the only primitive we must replace to get f64-grade results on
+TPU is the matmul itself.
+
+The fix is an Ozaki-scheme contraction on the int8 MXU: slice each operand's
+mantissa into exact 6-bit integer chunks (stored as int8), take all
+significant chunk-pair products with ``int8 x int8 -> int32`` matmuls (exact
+integer arithmetic on the MXU), and recombine the partial products in float64
+(accurate elementwise emulation). The result carries ~2^-54 relative error —
+float64-grade — while all the heavy lifting runs at int8 MXU throughput.
+
+This is new TPU-native work: the reference has no native code and no analogue
+of this component (SURVEY.md §0, §2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["contract", "ozaki_contract", "outer_accumulate_contract"]
+
+# Bits per mantissa slice. Slice values lie in [-2^T_BITS, 2^T_BITS] and fit
+# int8; a product of two slices fits 2*T_BITS+1 bits, leaving int32 headroom
+# for summing up to 2^(31 - 2*T_BITS - 1) rows exactly.
+_T_BITS = 6
+# Number of slices: covers T_BITS * N_SLICES = 60 mantissa bits >= 53 (f64).
+_N_SLICES = 10
+# Max rows per int8 matmul so the int32 accumulation stays exact:
+# N * 2^(2*T_BITS) < 2^31  =>  N < 2^18 (with a 2x safety margin).
+_MAX_CHUNK = 1 << 17
+
+
+def _mantissa_slices(x: jax.Array, n_slices: int):
+    """Split ``x`` (scaled into (-1, 1)) into int8 mantissa slices.
+
+    ``x ~= sum_i slices[i] * 2**(-T_BITS * (i + 1))`` with each slice an exact
+    small integer in [-64, 64]. The residual after ``n_slices`` slices is
+    below ``2**(-T_BITS * n_slices)`` relative to the pre-scaling column max.
+
+    All arithmetic here is exact in float64 (multiply by a power of two,
+    round, subtract), and every op is elementwise — the class of f64 ops the
+    TPU X64 rewriter emulates accurately. The int8 cast routes through
+    float32 (exact for these small integers) because direct f64->s8
+    conversion would require s64 bit ops the TPU rewriter lacks.
+    """
+    out = []
+    r = x
+    for _ in range(n_slices):
+        r = r * (2.0**_T_BITS)
+        q = jnp.round(r)
+        out.append(q.astype(jnp.float32).astype(jnp.int8))
+        r = r - q
+    return out
+
+
+def _pow2(e: jax.Array) -> jax.Array:
+    """Exact float64 ``2.0**e`` for int32 ``e`` with |e| <= 254.
+
+    Built from float32 ``ldexp`` (s32 bit ops, TPU-safe) in two halves, then
+    multiplied in float64 — a product of two exact powers of two is exact.
+    The f64 ``ldexp``/``frexp`` primitives are avoided entirely: they lower
+    to s64 ``bitcast_convert``, which the TPU X64 rewriter does not support.
+    """
+    h1 = jnp.clip(e, -127, 127)
+    h2 = e - h1
+    p1 = jnp.ldexp(jnp.float32(1.0), h1).astype(jnp.float64)
+    p2 = jnp.ldexp(jnp.float32(1.0), h2).astype(jnp.float64)
+    return p1 * p2
+
+
+def _column_scale(x: jax.Array):
+    """Per-column exponent e with |column max| * 2^-e in [0.5, 1).
+
+    The exponent is extracted from a float32 cast of the column max (f32
+    frexp uses only s32 bit ops). The f64->f32 cast rounds to nearest, which
+    can bump a value just below a power of two up to it; since frexp maps
+    2^k to (0.5, k+1) this only ever *over*-estimates e by 0 — and slices
+    stay within int8 range either way because scaled values stay < 1 + 2^-24.
+    """
+    absmax = jnp.max(jnp.abs(x), axis=0)
+    absmax32 = jnp.where(absmax > 0, absmax, 1.0).astype(jnp.float32)
+    # Guard against overflow/underflow of the f32 cast for extreme f64 data.
+    absmax32 = jnp.clip(absmax32, jnp.float32(1e-38), jnp.float32(3e38))
+    _, e = jnp.frexp(absmax32)
+    return e.astype(jnp.int32)
+
+
+def ozaki_contract(
+    a: jax.Array,
+    b: jax.Array,
+    *,
+    n_slices: int = _N_SLICES,
+    out_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Compute ``a.T @ b`` (contraction over axis 0) to ~f64 accuracy.
+
+    ``a``: (N, K), ``b``: (N, M), float64 (or float32). Heavy compute runs as
+    exact int8 x int8 -> int32 MXU matmuls; recombination is elementwise
+    float64 (accurately emulated on TPU).
+    """
+    if out_dtype is None:
+        out_dtype = a.dtype
+    n = a.shape[0]
+    f64 = jnp.float64
+    e_a = _column_scale(a)
+    e_b = _column_scale(b)
+    a_scaled = a.astype(f64) * _pow2(-e_a)[None, :]
+    b_scaled = b.astype(f64) * _pow2(-e_b)[None, :]
+
+    acc = jnp.zeros((a.shape[1], b.shape[1]), dtype=f64)
+    # Chunk over rows so every int32 accumulation is provably exact.
+    for start in range(0, max(n, 1), _MAX_CHUNK):
+        stop = min(start + _MAX_CHUNK, n)
+        sa = _mantissa_slices(a_scaled[start:stop], n_slices)
+        sb = _mantissa_slices(b_scaled[start:stop], n_slices)
+        for i in range(n_slices):
+            for j in range(n_slices - i):
+                d = jax.lax.dot_general(
+                    sa[i],
+                    sb[j],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                # 2^-T_BITS(i+j+2) is a compile-time float constant: exact.
+                acc = acc + d.astype(f64) * (2.0 ** (-_T_BITS * (i + j + 2)))
+    out = acc * _pow2(e_a[:, None] + e_b[None, :])
+    return out.astype(out_dtype)
+
+
+def outer_accumulate_contract(a: jax.Array, b: jax.Array) -> jax.Array:
+    """``a.T @ b`` as a scan of rank-one outer-product updates.
+
+    Avoids ``dot_general`` entirely, so on TPU every multiply/add runs through
+    the *accurate* float64 elementwise emulation. Intended for small
+    contraction lengths (per-fold validation blocks: N_val of a few rows, the
+    LOOCV case being N_val = 1), where mantissa slicing would be overhead and
+    a scan of length N_val is cheap. Exact same result order as a sequential
+    accumulation (error ~ N_val * eps64).
+    """
+    n = a.shape[0]
+    if n == 1:
+        return a[0][:, None] * b[0][None, :]
+
+    def step(carry, xy):
+        x, y = xy
+        return carry + x[:, None] * y[None, :], None
+
+    init = jnp.zeros((a.shape[1], b.shape[1]), dtype=a.dtype)
+    acc, _ = jax.lax.scan(step, init, (a, b))
+    return acc
+
+
+def _use_exact(mode: str, dtype) -> bool:
+    if mode == "exact":
+        return True
+    if mode == "native":
+        return False
+    # auto: the native XLA f64 dot is only ~f32-accurate on TPU; everywhere
+    # else (CPU f64, or f32 anywhere) the native dot is the right call.
+    return (
+        np.dtype(dtype).itemsize >= 8 and jax.default_backend() == "tpu"
+    )
+
+
+def contract(
+    a: jax.Array,
+    b: jax.Array,
+    *,
+    mode: str = "auto",
+    small_n_threshold: int = 16,
+) -> jax.Array:
+    """``a.T @ b`` contraction over axis 0, precision-policy aware.
+
+    This is the single entry point used by both the fit-time global products
+    (reference ``cvmatrix/cvmatrix.py:1209-1217``) and the per-fold
+    validation-block downdate products (``:1001``).
+    """
+    if _use_exact(mode, a.dtype):
+        if a.shape[0] <= small_n_threshold:
+            return outer_accumulate_contract(a, b)
+        return ozaki_contract(a, b)
+    return jax.lax.dot_general(
+        a,
+        b,
+        (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
