@@ -1,0 +1,117 @@
+"""Headline benchmark: weighted all-on LOOCV on the reference grid.
+
+Reproduces the reference's flagship configuration
+(``benchmarks/benchmark.py:222-252``): N=100,000 samples, K=500 features,
+M=10 targets, float64, random nonuniform weights, all four center/scale
+flags on, P=100,000-fold (leave-one-out) cross-validation. The measured
+quantity is the reference's: total cross-validation time = one fit + the
+training matrices of ALL folds (warm-JIT, matching the reference's
+``warmjit`` mode, ``benchmarks/benchmark.py:207-213``).
+
+Baseline: the fastest published reference number for this configuration is
+1.299 s total on an RTX 3090 Ti (JAX backend, warm JIT —
+``benchmarks/benchmark_results_jax.csv:106``; see BASELINE.md), i.e. ~76,982
+folds/s. ``vs_baseline`` is our folds/s over that.
+
+Prints ONE JSON line to stdout. Environment knobs (reference-compatible):
+BENCH_N, BENCH_K, BENCH_M, BENCH_P, BENCH_BATCH, BENCH_DTYPE.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    N = int(os.environ.get("BENCH_N", 100_000))
+    K = int(os.environ.get("BENCH_K", 500))
+    M = int(os.environ.get("BENCH_M", 10))
+    P = int(os.environ.get("BENCH_P", N))  # LOOCV by default
+    dtype = np.dtype(os.environ.get("BENCH_DTYPE", "float64")).type
+    batch = int(os.environ.get("BENCH_BATCH", 2000))
+
+    if np.dtype(dtype).itemsize >= 8:
+        jax.config.update("jax_enable_x64", True)
+
+    from cvmatrix_tpu import CVConfig, Partitioner, fit, training_XTX_XTY
+
+    log(f"bench: N={N} K={K} M={M} P={P} dtype={np.dtype(dtype).name} "
+        f"batch={batch} device={jax.devices()[0]}")
+
+    rng = np.random.default_rng(42)
+    X = rng.random((N, K), dtype=np.float64).astype(dtype)
+    Y = rng.random((N, M), dtype=np.float64).astype(dtype)
+    weights = rng.random(N).astype(dtype)
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=dtype)
+
+    # Fold batches: P folds = (i % P); bucket by size like the reference's
+    # jax driver (benchmark.py:144-152), chunked by `batch`.
+    p = Partitioner(np.arange(N) % P)
+    buckets = {}
+    for k, v in p.folds_dict.items():
+        buckets.setdefault(v.size, []).append(v)
+    stacks = [np.stack(vs) for vs in buckets.values()]
+
+    def fit_once():
+        st = fit(cfg, X, Y, weights)
+        jax.block_until_ready(st.XTX)
+        return st
+
+    fold_fn = jax.jit(
+        jax.vmap(training_XTX_XTY, in_axes=(None, None, 0)),
+        static_argnums=(0,),
+    )
+
+    def run_folds(st):
+        for stack in stacks:
+            dstack = jnp.asarray(stack)
+            for s in range(0, dstack.shape[0], batch):
+                chunk = dstack[s : s + batch]
+                jax.block_until_ready(fold_fn(cfg, st, chunk))
+
+    # Warm-up: compile fit + fold programs (cold-JIT excluded, like the
+    # reference's warmjit mode).
+    t0 = time.perf_counter()
+    state = fit_once()
+    log(f"fit compile+run: {time.perf_counter() - t0:.3f}s")
+    t0 = time.perf_counter()
+    run_folds(state)
+    log(f"folds compile+first run: {time.perf_counter() - t0:.3f}s")
+
+    # Measured: total CV = fit + all folds, warm.
+    t0 = time.perf_counter()
+    state = fit_once()
+    t_fit = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_folds(state)
+    t_folds = time.perf_counter() - t0
+    total = t_fit + t_folds
+    folds_per_sec = P / total
+    log(f"warm: fit={t_fit:.3f}s folds={t_folds:.3f}s total={total:.3f}s "
+        f"-> {folds_per_sec:,.0f} folds/s")
+
+    baseline_folds_per_sec = 100_000 / 1.299  # ref RTX 3090 Ti warm JIT
+    name = (
+        f"weighted_TTTT_P{P}_total_cv_folds_per_sec_"
+        f"n{N}_k{K}_{np.dtype(dtype).name}"
+    )
+    print(json.dumps({
+        "metric": name,
+        "value": round(folds_per_sec, 1),
+        "unit": "folds/s",
+        "vs_baseline": round(folds_per_sec / baseline_folds_per_sec, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,14 @@ applying the weighted centering/scaling corrections as a rank-one mean term
 and an outer-product std divide — per-fold cost is independent of the
 training-set size.
 
+Layering (TPU-first): the fold math is split into
+  1. :func:`gather_val_blocks` — row gathers of the validation block, and
+  2. :func:`training_matrices_from_blocks` — fold math on gathered blocks
+     plus the small replicated globals,
+so that on a device mesh step 1 can run as a shard-local mask-and-psum
+(``parallel/``) while step 2 runs fold-sharded, without duplicating any of
+the numerics.
+
 TPU-first deviations (bit-compatible):
 - The two downdate products share one contraction over ``[X_val | Y_val]``
   (one pass over the gathered validation rows).
@@ -39,6 +47,9 @@ from ..utils.tracing import is_concrete
 from .state import FitState
 
 __all__ = [
+    "FoldBlocks",
+    "gather_val_blocks",
+    "training_matrices_from_blocks",
     "training_matrices",
     "training_XTX",
     "training_XTY",
@@ -47,18 +58,27 @@ __all__ = [
 ]
 
 
-class _ValBlocks(NamedTuple):
-    """Gathered validation rows (ref ``_get_val_matrices``, :898-941)."""
+class FoldBlocks(NamedTuple):
+    """Gathered validation rows (ref ``_get_val_matrices``, :898-941).
 
-    Xv_w: jnp.ndarray  # weighted (and mask-zeroed) X rows: WX[v]
-    Xv_u: jnp.ndarray  # unweighted X rows (aliases Xv gather when w is None)
+    ``Xv_w`` rows are weighted (``WX[v]``) and mask-zeroed; ``Xv_u`` rows are
+    unweighted and unmasked (they alias the same gather when weights are
+    absent). ``w_val`` is ``None`` for unweighted data. ``mask`` is ``None``
+    or (L,) 0/1; ``n_val`` is the unpadded count when no mask is used.
+    """
+
+    Xv_w: jnp.ndarray
+    Xv_u: jnp.ndarray
     Yv_w: Optional[jnp.ndarray]
     Yv_u: Optional[jnp.ndarray]
+    w_val: Optional[jnp.ndarray]
+    mask: Optional[jnp.ndarray]
 
 
-def _gather_val_blocks(
+def gather_val_blocks(
     config: CVConfig, state: FitState, v, mask, return_XTY: bool
-) -> _ValBlocks:
+) -> FoldBlocks:
+    """Row-gather the validation block from (possibly sharded) data."""
     Xv_raw = state.WX[v]
     Xv_u = Xv_raw if state.weights is None else state.X[v]
     Xv_w = Xv_raw if mask is None else Xv_raw * mask[:, None]
@@ -74,26 +94,29 @@ def _gather_val_blocks(
         Yv_w = Yv_raw if mask is None else Yv_raw * mask[:, None]
     else:
         Yv_w = Yv_u = None
-    return _ValBlocks(Xv_w, Xv_u, Yv_w, Yv_u)
-
-
-def _train_weight_scalars(
-    config: CVConfig, state: FitState, v, mask, *, check: bool
-):
-    """Training-set weight sum and nonzero count (ref :589-630)."""
     if state.weights is None:
-        if mask is None:
-            sum_w_val = v.size  # static
-        else:
-            sum_w_val = jnp.sum(mask)
-        sum_w_train = state.sum_w - sum_w_val
-        num_nonzero_w_train = sum_w_train
+        w_val = None
     else:
         w_val = state.weights[v]
         if mask is not None:
             w_val = w_val * mask[:, None]
-        sum_w_train = state.sum_w - jnp.sum(w_val)
-        num_nonzero_w_train = state.num_nonzero_w - jnp.count_nonzero(w_val)
+    return FoldBlocks(Xv_w, Xv_u, Yv_w, Yv_u, w_val, mask)
+
+
+def _train_weight_scalars(state: FitState, blocks: FoldBlocks, *, check: bool):
+    """Training-set weight sum and nonzero count (ref :589-630)."""
+    if blocks.w_val is None:
+        if blocks.mask is None:
+            sum_w_val = blocks.Xv_w.shape[0]  # static
+        else:
+            sum_w_val = jnp.sum(blocks.mask)
+        sum_w_train = state.sum_w - sum_w_val
+        num_nonzero_w_train = sum_w_train
+    else:
+        sum_w_train = state.sum_w - jnp.sum(blocks.w_val)
+        num_nonzero_w_train = state.num_nonzero_w - jnp.count_nonzero(
+            blocks.w_val
+        )
     # Data-dependent validity raise: eager only; deferred to the host-side
     # pre-flight under tracing (ref :619-630).
     if check and bool(num_nonzero_w_train == 0):
@@ -131,14 +154,13 @@ def _train_std(config: CVConfig, sum_sq_train, mean, sum_train, sum_w_train, div
 def _compute_training_stats(
     config: CVConfig,
     state: FitState,
-    v,
-    mask,
-    blocks: _ValBlocks,
+    blocks: FoldBlocks,
     *,
     return_X_mean: bool,
     return_X_std: bool,
     return_Y_mean: bool,
     return_Y_std: bool,
+    check: bool,
 ):
     """Downdated training means/stds (ref ``_compute_training_stats``, :632-752).
 
@@ -147,9 +169,8 @@ def _compute_training_stats(
     """
     if not (return_X_mean or return_X_std or return_Y_mean or return_Y_std):
         return None, None, None, None, None
-    check = is_concrete(v) and (mask is None or is_concrete(mask))
     sum_w_train, num_nonzero_w_train = _train_weight_scalars(
-        config, state, v, mask, check=check
+        state, blocks, check=check
     )
     X_mean = X_std = Y_mean = Y_std = None
     sum_X_train = sum_Y_train = None
@@ -207,6 +228,86 @@ def _apply_epilogue(T, mean1, mean2, std1, std2, sum_w_train, center: bool):
     return T
 
 
+def training_matrices_from_blocks(
+    config: CVConfig,
+    state: FitState,
+    blocks: FoldBlocks,
+    *,
+    return_XTX: bool = True,
+    return_XTY: bool = True,
+    check: bool = False,
+):
+    """Fold math given already-gathered validation blocks.
+
+    ``state`` supplies only the small replicated globals here (products,
+    sums, scalars) — the large data arrays are untouched, so a sharded
+    caller can pass the same pytree and XLA dead-code-eliminates the rest.
+    """
+    # Cross-coupled stat flags (ref :828-831): the XTY mean cross-term
+    # cancels only when both sides are centered, so one-sided centering still
+    # needs the other side's mean.
+    X_mean, X_std, Y_mean, Y_std, sum_w_train = _compute_training_stats(
+        config,
+        state,
+        blocks,
+        return_X_mean=config.center_X or (return_XTY and config.center_Y),
+        return_X_std=config.scale_X,
+        return_Y_mean=return_XTY and (config.center_X or config.center_Y),
+        return_Y_std=return_XTY and config.scale_Y,
+        check=check,
+    )
+    stats = (X_mean, X_std, Y_mean, Y_std)
+
+    # Fused downdate: one contraction over [X_val | Y_val] (one pass over the
+    # gathered rows), split into the XTX / XTY downdates.
+    if return_XTX and return_XTY:
+        m2 = jnp.concatenate([blocks.Xv_u, blocks.Yv_u], axis=1)
+        prod = contract(blocks.Xv_w, m2, mode=config.matmul_mode)
+        k = blocks.Xv_u.shape[1]
+        xtx = _apply_epilogue(
+            state.XTX - prod[:, :k],
+            X_mean,
+            X_mean,
+            X_std,
+            X_std,
+            sum_w_train,
+            center=config.center_X,
+        )
+        xty = _apply_epilogue(
+            state.XTY - prod[:, k:],
+            X_mean,
+            Y_mean,
+            X_std,
+            Y_std,
+            sum_w_train,
+            center=config.center_X or config.center_Y,
+        )
+        return (xtx, xty), stats
+    if return_XTX:
+        prod = contract(blocks.Xv_w, blocks.Xv_u, mode=config.matmul_mode)
+        xtx = _apply_epilogue(
+            state.XTX - prod,
+            X_mean,
+            X_mean,
+            X_std,
+            X_std,
+            sum_w_train,
+            center=config.center_X,
+        )
+        return xtx, stats
+    prod = contract(blocks.Xv_w, blocks.Yv_u, mode=config.matmul_mode)
+    xty = _apply_epilogue(
+        state.XTY - prod,
+        X_mean,
+        Y_mean,
+        X_std,
+        Y_std,
+        sum_w_train,
+        center=config.center_X or config.center_Y,
+    )
+    return xty, stats
+
+
 def training_matrices(
     config: CVConfig,
     state: FitState,
@@ -228,73 +329,16 @@ def training_matrices(
     if return_XTY and state.Y is None:
         raise ValueError("Response variables `Y` are not provided.")
     v = jnp.asarray(val_indices)
-    blocks = _gather_val_blocks(config, state, v, mask, return_XTY)
-    # Cross-coupled stat flags (ref :828-831): the XTY mean cross-term
-    # cancels only when both sides are centered, so one-sided centering still
-    # needs the other side's mean.
-    X_mean, X_std, Y_mean, Y_std, sum_w_train = _compute_training_stats(
+    check = is_concrete(v) and (mask is None or is_concrete(mask))
+    blocks = gather_val_blocks(config, state, v, mask, return_XTY)
+    return training_matrices_from_blocks(
         config,
         state,
-        v,
-        mask,
         blocks,
-        return_X_mean=config.center_X or (return_XTY and config.center_Y),
-        return_X_std=config.scale_X,
-        return_Y_mean=return_XTY and (config.center_X or config.center_Y),
-        return_Y_std=return_XTY and config.scale_Y,
+        return_XTX=return_XTX,
+        return_XTY=return_XTY,
+        check=check,
     )
-    stats = (X_mean, X_std, Y_mean, Y_std)
-    X_mean_k = X_mean
-    Y_mean_k = Y_mean
-
-    # Fused downdate: one contraction over [X_val | Y_val] (one pass over the
-    # gathered rows), split into the XTX / XTY downdates.
-    if return_XTX and return_XTY:
-        m2 = jnp.concatenate([blocks.Xv_u, blocks.Yv_u], axis=1)
-        prod = contract(blocks.Xv_w, m2, mode=config.matmul_mode)
-        k = blocks.Xv_u.shape[1]
-        xtx = _apply_epilogue(
-            state.XTX - prod[:, :k],
-            X_mean_k,
-            X_mean_k,
-            X_std,
-            X_std,
-            sum_w_train,
-            center=config.center_X,
-        )
-        xty = _apply_epilogue(
-            state.XTY - prod[:, k:],
-            X_mean_k,
-            Y_mean_k,
-            X_std,
-            Y_std,
-            sum_w_train,
-            center=config.center_X or config.center_Y,
-        )
-        return (xtx, xty), stats
-    if return_XTX:
-        prod = contract(blocks.Xv_w, blocks.Xv_u, mode=config.matmul_mode)
-        xtx = _apply_epilogue(
-            state.XTX - prod,
-            X_mean_k,
-            X_mean_k,
-            X_std,
-            X_std,
-            sum_w_train,
-            center=config.center_X,
-        )
-        return xtx, stats
-    prod = contract(blocks.Xv_w, blocks.Yv_u, mode=config.matmul_mode)
-    xty = _apply_epilogue(
-        state.XTY - prod,
-        X_mean_k,
-        Y_mean_k,
-        X_std,
-        Y_std,
-        sum_w_train,
-        center=config.center_X or config.center_Y,
-    )
-    return xty, stats
 
 
 def training_XTX(config: CVConfig, state: FitState, val_indices, mask=None):
@@ -329,15 +373,15 @@ def training_statistics(
     """
     v = jnp.asarray(val_indices)
     has_Y = state.Y is not None
-    blocks = _gather_val_blocks(config, state, v, mask, return_XTY=has_Y)
+    check = is_concrete(v) and (mask is None or is_concrete(mask))
+    blocks = gather_val_blocks(config, state, v, mask, return_XTY=has_Y)
     return _compute_training_stats(
         config,
         state,
-        v,
-        mask,
         blocks,
         return_X_mean=config.center_X or config.scale_X,
         return_X_std=config.scale_X,
         return_Y_mean=(config.center_Y or config.scale_Y) and has_Y,
         return_Y_std=config.scale_Y and has_Y,
+        check=check,
     )[:-1]

@@ -1,0 +1,302 @@
+"""Multi-device / multi-host execution over a ``jax.sharding.Mesh``.
+
+The reference is strictly single-process (SURVEY.md §2: no collectives of any
+kind exist); this module is the new TPU-native scaling layer it calls for:
+
+- **Rows** (the dataset axis N) are sharded across the mesh — the analogue of
+  data/sequence parallelism for this workload (SURVEY.md §5). ``fit`` then
+  consists of per-shard partial products assembled with ``psum`` over ICI:
+  GSPMD inserts the collective automatically from the sharding annotations.
+- **Folds** are an embarrassingly parallel batch axis: validation blocks are
+  first assembled from the row shards with a shard-local mask-and-psum gather
+  (communication = the gathered rows only, never the dataset), then the fold
+  math runs fold-sharded across all devices.
+
+Everything here reuses the exact numerics of :mod:`cvmatrix_tpu.core` — the
+fold math is the same :func:`training_matrices_from_blocks`; only data
+movement differs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..config import CVConfig
+from ..core.fit import fit as _fit
+from ..core.fold import FoldBlocks, training_matrices_from_blocks
+from ..core.state import FitState
+
+__all__ = ["make_mesh", "fit_sharded", "sharded_training_matrices"]
+
+ROWS = "rows"
+
+
+def make_mesh(devices=None, axis_name: str = ROWS) -> Mesh:
+    """A 1-D mesh over all (or the given) devices, axis ``rows``.
+
+    Rows is the only scaling axis this workload needs (SURVEY.md §2
+    "Parallelism strategies"): the same axis is reused for fold parallelism
+    in the per-fold phase.
+    """
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def _row_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(ROWS, None))
+
+
+def _replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _pad_rows(X, Y, weights, n_shards: int):
+    """Zero-pad rows to a multiple of the shard count.
+
+    Padding rows carry zero WEIGHT, which preserves every statistic exactly:
+    for originally-unweighted data we materialise unit weights with zero pad
+    entries (``sum_w = N`` and ``nnz = N`` still hold, ``WX = X`` exactly).
+    """
+    n = X.shape[0]
+    pad = (-n) % n_shards
+    if pad == 0:
+        return X, Y, weights, n
+    X = np.concatenate([X, np.zeros((pad, X.shape[1]), X.dtype)])
+    if Y is not None:
+        Y = np.concatenate([Y, np.zeros((pad, Y.shape[1]), Y.dtype)])
+    if weights is None:
+        weights = np.ones(n, X.dtype)
+    else:
+        weights = np.asarray(weights, X.dtype).reshape(-1)
+    weights = np.concatenate([weights, np.zeros(pad, X.dtype)])
+    return X, Y, weights, n
+
+
+def fit_sharded(
+    config: CVConfig,
+    mesh: Mesh,
+    X,
+    Y=None,
+    weights=None,
+) -> FitState:
+    """Row-sharded fit: per-shard partials + psum-assembled globals.
+
+    Inputs are host arrays (or globally-addressable jax arrays); data fields
+    of the returned state are row-sharded over ``mesh``, products/statistics
+    replicated. The numerics are those of :func:`cvmatrix_tpu.core.fit.fit`
+    — GSPMD turns its contractions/reductions into per-shard partials plus
+    ``psum`` collectives over the ``rows`` axis.
+    """
+    n_shards = mesh.shape[ROWS]
+    X = np.asarray(X, config.dtype)
+    if X.ndim == 1:
+        X = X[:, None]
+    Yn = None if Y is None else np.asarray(Y, config.dtype)
+    if Yn is not None and Yn.ndim == 1:
+        Yn = Yn[:, None]
+    X, Yn, weights, _ = _pad_rows(X, Yn, weights, n_shards)
+
+    row = _row_sharding(mesh)
+    rep = _replicated(mesh)
+    Xd = jax.device_put(X, row)
+    Yd = None if Yn is None else jax.device_put(Yn, row)
+    wd = (
+        None
+        if weights is None
+        else jax.device_put(np.asarray(weights).reshape(-1, 1), row)
+    )
+
+    def spec(state: FitState) -> FitState:
+        def mark(x, s):
+            return None if x is None else s
+
+        return FitState(
+            X=row,
+            WX=row,
+            Y=mark(state.Y, row),
+            WY=mark(state.WY, row),
+            weights=mark(state.weights, row),
+            XTX=rep,
+            XTY=mark(state.XTY, rep),
+            sum_X=mark(state.sum_X, rep),
+            sum_Y=mark(state.sum_Y, rep),
+            sum_sq_X=mark(state.sum_sq_X, rep),
+            sum_sq_Y=mark(state.sum_sq_Y, rep),
+            sum_w=mark(state.sum_w, rep),
+            num_nonzero_w=mark(state.num_nonzero_w, rep),
+        )
+
+    # Trace once eagerly (abstractly) to learn which fields exist, then jit
+    # with matching out_shardings.
+    shape_state = jax.eval_shape(
+        partial(_fit, config, validate=False), Xd, Yd, wd
+    )
+    fitted = jax.jit(
+        partial(_fit, config, validate=False),
+        out_shardings=spec(shape_state),
+    )(Xd, Yd, wd)
+    # Weight validation is data-dependent; do it host-side (eagerly) here.
+    if weights is not None and bool(jnp.any(fitted.weights < 0)):
+        raise ValueError("Weights must be non-negative.")
+    return fitted
+
+
+def _gather_blocks_sharded(
+    config: CVConfig,
+    state: FitState,
+    idx_batch: jax.Array,  # (F, L) global row indices
+    mask_batch: Optional[jax.Array],
+    return_XTY: bool,
+    mesh: Mesh,
+) -> FoldBlocks:
+    """Assemble every fold's validation rows from the row shards.
+
+    Each shard looks up the indices that fall inside its row range and
+    contributes zeros elsewhere; a ``psum`` over ``rows`` yields the
+    replicated (F, L, ...) blocks. Communication is O(F * L * (K + M)) —
+    the gathered rows — never the sharded dataset itself.
+    """
+    n_shards = mesh.shape[ROWS]
+    shard_rows = state.X.shape[0] // n_shards
+
+    # Only the streams this config actually consumes are gathered/psum'd.
+    sources = {"WX": state.WX}
+    if state.weights is not None:
+        sources["X"] = state.X
+        sources["w"] = state.weights
+    if return_XTY:
+        sources["Y"] = state.Y
+        if state.weights is not None and config.needs_WY:
+            sources["WY"] = state.WY
+    names = list(sources.keys())
+
+    def local_gather(arrs, idx):
+        # idx: (F, L) global; this shard owns rows [r0, r0 + shard_rows).
+        r0 = jax.lax.axis_index(ROWS) * shard_rows
+        li = idx - r0
+        inb = (li >= 0) & (li < shard_rows)
+        lc = jnp.clip(li, 0, shard_rows - 1)
+
+        def grab(arr):
+            rows = arr[lc]  # (F, L, C)
+            rows = jnp.where(inb[..., None], rows, 0)
+            return jax.lax.psum(rows, ROWS)
+
+        return {k: grab(a) for k, a in arrs.items()}
+
+    gathered = jax.shard_map(
+        local_gather,
+        mesh=mesh,
+        in_specs=({k: P(ROWS, None) for k in names}, P()),
+        out_specs={k: P() for k in names},
+    )(sources, idx_batch)
+    gWX = gathered["WX"]
+    gX = gathered.get("X")
+    gY = gathered.get("Y")
+    gWY = gathered.get("WY")
+    gw = gathered.get("w")
+
+    # Reproduce gather_val_blocks' aliasing/masking rules on batched blocks.
+    Xv_u = gWX if state.weights is None else gX
+    Xv_w = gWX if mask_batch is None else gWX * mask_batch[..., None]
+    if return_XTY:
+        if state.weights is None or not config.needs_WY:
+            Yv_raw = gY
+            Yv_u = Yv_raw
+        else:
+            Yv_raw = gWY
+            Yv_u = gY
+        Yv_w = Yv_raw if mask_batch is None else Yv_raw * mask_batch[..., None]
+    else:
+        Yv_w = Yv_u = None
+    if gw is None:
+        w_val = None
+    else:
+        w_val = gw if mask_batch is None else gw * mask_batch[..., None]
+    return FoldBlocks(Xv_w, Xv_u, Yv_w, Yv_u, w_val, mask_batch)
+
+
+def sharded_training_matrices(
+    config: CVConfig,
+    state: FitState,
+    idx_batch,
+    mask_batch=None,
+    *,
+    mesh: Mesh,
+    return_XTX: bool = True,
+    return_XTY: bool = True,
+):
+    """All folds' training matrices on a mesh: gather, then fold-sharded math.
+
+    ``idx_batch`` (F, L): per-fold validation indices (padded; pass
+    ``mask_batch`` for unequal fold sizes). Outputs are sharded over folds
+    (leading axis) across the mesh.
+    """
+    if return_XTY and state.Y is None:
+        raise ValueError("Response variables `Y` are not provided.")
+    idx_batch = jnp.asarray(idx_batch)
+    if mask_batch is not None:
+        mask_batch = jnp.asarray(mask_batch, config.dtype)
+    # Pad the fold axis to a multiple of the mesh size (duplicating fold 0);
+    # the duplicates are sliced off after the fold-sharded computation.
+    n_folds = idx_batch.shape[0]
+    pad_f = (-n_folds) % mesh.shape[ROWS]
+    if pad_f:
+        idx_batch = jnp.concatenate(
+            [idx_batch, jnp.broadcast_to(idx_batch[:1], (pad_f,) + idx_batch.shape[1:])]
+        )
+        if mask_batch is not None:
+            mask_batch = jnp.concatenate(
+                [mask_batch,
+                 jnp.broadcast_to(mask_batch[:1], (pad_f,) + mask_batch.shape[1:])]
+            )
+    rep = _replicated(mesh)
+    fold_sharded = NamedSharding(mesh, P(ROWS))
+
+    blocks = _gather_blocks_sharded(
+        config, state, jax.device_put(idx_batch, rep),
+        None if mask_batch is None else jax.device_put(mask_batch, rep),
+        return_XTY, mesh,
+    )
+
+    # Small replicated globals only: the fold math never touches the big data
+    # fields (they were consumed by the gather phase above).
+    globals_only = FitState(
+        X=jnp.zeros((1, state.K), config.dtype),
+        WX=jnp.zeros((1, state.K), config.dtype),
+        Y=None,
+        WY=None,
+        weights=None,
+        XTX=state.XTX,
+        XTY=state.XTY,
+        sum_X=state.sum_X,
+        sum_Y=state.sum_Y,
+        sum_sq_X=state.sum_sq_X,
+        sum_sq_Y=state.sum_sq_Y,
+        sum_w=state.sum_w,
+        num_nonzero_w=state.num_nonzero_w,
+    )
+
+    def fold_fn(st, blks):
+        return training_matrices_from_blocks(
+            config, st, blks, return_XTX=return_XTX, return_XTY=return_XTY
+        )
+
+    batched = jax.vmap(fold_fn, in_axes=(None, 0))
+    # Explicitly reshard the (replicated) gathered blocks over folds, then run
+    # the fold math fold-sharded; each device computes only its fold slice.
+    blocks = jax.device_put(
+        blocks, jax.tree.map(lambda _: NamedSharding(mesh, P(ROWS)), blocks)
+    )
+    out = jax.jit(batched, out_shardings=fold_sharded)(globals_only, blocks)
+    if pad_f:
+        out = jax.tree.map(lambda a: a[:n_folds], out)
+    return out

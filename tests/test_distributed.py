@@ -1,0 +1,97 @@
+"""Multi-device correctness on the 8-device virtual CPU mesh.
+
+The reference has no distributed layer (SURVEY.md §2); the contract here is
+*agreement*: row-sharded fit + mesh fold computation must match the
+single-device engine (which in turn matches the NumPy oracle) at 1e-8.
+"""
+
+import jax
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from cvmatrix_tpu import CVConfig, CVMatrix, Partitioner
+from cvmatrix_tpu.parallel.distributed import (
+    fit_sharded,
+    make_mesh,
+    sharded_training_matrices,
+)
+
+from .data import make_dataset, zero_fraction
+
+X_ALL, Y_ALL, FOLDS, WEIGHTS = make_dataset()
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return make_mesh()
+
+
+@pytest.mark.parametrize("use_w", [False, True])
+def test_sharded_fit_matches_single_device(mesh, use_w):
+    w = zero_fraction(WEIGHTS) if use_w else None
+    cfg = CVConfig(True, True, True, True, 1)
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, w)
+    ref = CVMatrix().fit(X_ALL, Y_ALL, w)
+    assert_allclose(np.asarray(st.XTX), np.asarray(ref.XTX), atol=1e-9)
+    assert_allclose(np.asarray(st.XTY), np.asarray(ref.XTY), atol=1e-9)
+    assert_allclose(np.asarray(st.sum_X), np.asarray(ref.sum_X), atol=1e-10)
+    assert_allclose(np.asarray(st.sum_sq_X), np.asarray(ref.sum_sq_X), atol=1e-10)
+    assert float(st.sum_w) == pytest.approx(float(ref.sum_w))
+    # Row padding to the shard count must not change any statistic.
+    assert st.X.shape[0] % 8 == 0
+
+
+@pytest.mark.parametrize("use_w", [False, True])
+@pytest.mark.parametrize("flags", [(True, True, True, True),
+                                   (False, False, False, False),
+                                   (True, False, False, True)])
+def test_sharded_folds_match_single_device(mesh, use_w, flags):
+    cx, cy, sx, sy = flags
+    w = zero_fraction(WEIGHTS) if use_w else None
+    cfg = CVConfig(cx, cy, sx, sy, 1)
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, w)
+    ref = CVMatrix(cx, cy, sx, sy, 1).fit(X_ALL, Y_ALL, w)
+    p = Partitioner(FOLDS)
+    keys, idx, mask = p.padded_batches()
+    (xtx_b, xty_b), stats_b = sharded_training_matrices(
+        cfg, st, idx, mask, mesh=mesh
+    )
+    for i, k in enumerate(keys):
+        (xtx, xty), stats = ref.training_XTX_XTY(p.get_validation_indices(k))
+        assert_allclose(np.asarray(xtx_b[i]), np.asarray(xtx), atol=1e-8)
+        assert_allclose(np.asarray(xty_b[i]), np.asarray(xty), atol=1e-8)
+        for sb, s in zip(stats_b, stats):
+            if s is None:
+                assert sb is None
+            else:
+                assert_allclose(np.asarray(sb[i]), np.asarray(s), atol=1e-8)
+
+
+def test_sharded_xtx_only(mesh):
+    cfg = CVConfig(True, True, True, True, 1)
+    st = fit_sharded(cfg, mesh, X_ALL, None, WEIGHTS)
+    ref = CVMatrix().fit(X_ALL, None, WEIGHTS)
+    p = Partitioner(FOLDS)
+    keys, idx, mask = p.padded_batches()
+    xtx_b, _ = sharded_training_matrices(
+        cfg, st, idx, mask, mesh=mesh, return_XTY=False
+    )
+    for i, k in enumerate(keys):
+        xtx, _ = ref.training_XTX(p.get_validation_indices(k))
+        assert_allclose(np.asarray(xtx_b[i]), np.asarray(xtx), atol=1e-8)
+
+
+def test_sharded_y_none_error(mesh):
+    cfg = CVConfig()
+    st = fit_sharded(cfg, mesh, X_ALL, None, None)
+    p = Partitioner(FOLDS)
+    _, idx, mask = p.padded_batches()
+    with pytest.raises(ValueError, match="Response variables"):
+        sharded_training_matrices(cfg, st, idx, mask, mesh=mesh)
+
+
+def test_sharded_negative_weights(mesh):
+    with pytest.raises(ValueError, match="non-negative"):
+        fit_sharded(CVConfig(), mesh, X_ALL, Y_ALL, -WEIGHTS)

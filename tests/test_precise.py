@@ -1,0 +1,94 @@
+"""Accuracy contract of the precise contraction ops (the TPU f64 story)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvmatrix_tpu.ops.precise import (
+    contract,
+    outer_accumulate_contract,
+    ozaki_contract,
+)
+
+
+def _relerr(got, ref):
+    return np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1e-30))
+
+
+def test_ozaki_well_conditioned():
+    rng = np.random.default_rng(0)
+    a = rng.random((5000, 64))
+    b = rng.random((5000, 33))
+    got = np.asarray(jax.jit(ozaki_contract)(jnp.asarray(a), jnp.asarray(b)))
+    assert _relerr(got, a.T @ b) < 1e-13
+
+
+def test_ozaki_wide_dynamic_range():
+    rng = np.random.default_rng(1)
+    a = rng.random((2048, 40)) * rng.lognormal(0, 4, (2048, 40))
+    b = rng.random((2048, 16)) * np.exp(rng.normal(0, 5, (2048, 16)))
+    ref = a.T @ b
+    got = np.asarray(jax.jit(ozaki_contract)(jnp.asarray(a), jnp.asarray(b)))
+    # Column-relative bound (the scheme's natural error measure).
+    colscale = np.abs(a).max(0)[:, None] * np.abs(b).max(0)[None, :] * a.shape[0]
+    assert np.max(np.abs(got - ref) / colscale) < 1e-14
+
+
+def test_ozaki_chunked_rows():
+    rng = np.random.default_rng(2)
+    n = (1 << 17) + 333  # forces the multi-chunk path
+    a = rng.random((n, 8))
+    b = rng.random((n, 4))
+    got = np.asarray(jax.jit(ozaki_contract)(jnp.asarray(a), jnp.asarray(b)))
+    assert _relerr(got, a.T @ b) < 1e-13
+
+
+def test_ozaki_zero_and_negative_columns():
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((100, 5))
+    a[:, 2] = 0.0
+    b = -rng.random((100, 3))
+    got = np.asarray(ozaki_contract(jnp.asarray(a), jnp.asarray(b)))
+    ref = a.T @ b
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+    assert np.all(got[2] == 0.0)
+
+
+def test_outer_accumulate_small_n():
+    rng = np.random.default_rng(4)
+    for n in (1, 2, 7):
+        a = rng.standard_normal((n, 6))
+        b = rng.standard_normal((n, 3))
+        got = np.asarray(outer_accumulate_contract(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(got, a.T @ b, rtol=1e-14, atol=1e-14)
+
+
+def test_contract_mode_dispatch():
+    rng = np.random.default_rng(5)
+    a = rng.random((50, 4))
+    b = rng.random((50, 3))
+    for mode in ("auto", "native", "exact"):
+        got = np.asarray(contract(jnp.asarray(a), jnp.asarray(b), mode=mode))
+        np.testing.assert_allclose(got, a.T @ b, rtol=1e-12)
+
+
+def test_contract_vmaps():
+    rng = np.random.default_rng(6)
+    a = rng.random((10, 20, 4))
+    b = rng.random((10, 20, 3))
+    f = jax.vmap(lambda x, y: contract(x, y, mode="exact"))
+    got = np.asarray(f(jnp.asarray(a), jnp.asarray(b)))
+    ref = np.einsum("fnk,fnm->fkm", a, b)
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-13)
+
+
+def test_contract_f32_native():
+    rng = np.random.default_rng(7)
+    a = rng.random((100, 8)).astype(np.float32)
+    b = rng.random((100, 5)).astype(np.float32)
+    got = contract(jnp.asarray(a), jnp.asarray(b))
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(got), a.T.astype(np.float64) @ b.astype(np.float64), rtol=1e-5
+    )
