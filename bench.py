@@ -62,9 +62,21 @@ def main():
         buckets.setdefault(v.size, []).append(v)
     stacks = [np.stack(vs) for vs in buckets.values()]
 
+    jfit = jax.jit(
+        lambda c, x, y, w: fit(c, x, y, w, validate=False), static_argnums=(0,)
+    )
+    Xd, Yd, wd = jnp.asarray(X), jnp.asarray(Y), jnp.asarray(weights)
+
+    # NOTE on timing honesty: on remote-tunneled TPU runtimes (axon),
+    # block_until_ready can return at enqueue. Every measurement therefore
+    # chains a tiny probe that DEPENDS on the produced buffers and fetches
+    # one scalar to the host at the end — the fetch cannot complete before
+    # the device work has.
+    probe = jax.jit(lambda o, s: o[0][0][0, 0, 0] + o[0][1][0, 0, 0] + s)
+
     def fit_once():
-        st = fit(cfg, X, Y, weights)
-        jax.block_until_ready(st.XTX)
+        st = jfit(cfg, Xd, Yd, wd)
+        float(st.XTX[0, 0])  # host fetch = completion barrier
         return st
 
     fold_fn = jax.jit(
@@ -73,11 +85,13 @@ def main():
     )
 
     def run_folds(st):
+        s = jnp.zeros((), dtype=dtype)
         for stack in stacks:
             dstack = jnp.asarray(stack)
-            for s in range(0, dstack.shape[0], batch):
-                chunk = dstack[s : s + batch]
-                jax.block_until_ready(fold_fn(cfg, st, chunk))
+            for off in range(0, dstack.shape[0], batch):
+                out = fold_fn(cfg, st, dstack[off : off + batch])
+                s = probe(out, s)
+        return float(s)  # single host fetch; forces all chunks to complete
 
     # Warm-up: compile fit + fold programs (cold-JIT excluded, like the
     # reference's warmjit mode).

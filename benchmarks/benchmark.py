@@ -1,0 +1,226 @@
+"""Full-grid cross-validation benchmark harness.
+
+Mirrors the reference harness's shape (``/root/reference/benchmarks/
+benchmark.py:222-332``): total cross-validation time (one fit + training
+matrices for ALL folds) over P-fold splits of an (N, K) random dataset,
+swept over preprocessing combinations and weighted/unweighted, appended to a
+CSV. Environment knobs are reference-compatible:
+
+  BENCH_N (100000)   BENCH_K (500)      BENCH_M (10)
+  BENCH_PS ("3,5,10,100,1000,10000,100000")
+  BENCH_CONFIGS ("plot" = the 3 reference-figure combos | "all" = 16)
+  BENCH_BATCH (2000) fold-batch chunk size
+  BENCH_NAIVE ("0")  also time the naive NumPy oracle (very slow)
+  BENCH_DTYPE ("float64")
+  BENCH_CSV ("benchmark_results.csv")
+  BENCH_MODES ("warmjit" | "nojit,coldjit,warmjit")
+
+Additional TPU-native measurements (no reference equivalent):
+  - per-phase timing (fit vs folds) and folds/s
+  - achieved HBM GB/s of the fold phase vs the chip's roofline
+    (the BASELINE.json north-star metric).
+"""
+
+import os
+import sys
+import time
+from itertools import product
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CSV_HEADER = (
+    "model,weights,P,N,K,M,center_X,center_Y,scale_X,scale_Y,"
+    "time,fit_time,folds_time,folds_per_sec,gbps,version\n"
+)
+
+
+def save_row(csv_path, **kw):
+    try:
+        with open(csv_path, "x") as f:
+            f.write(CSV_HEADER)
+    except FileExistsError:
+        pass
+    cols = CSV_HEADER.strip().split(",")
+    with open(csv_path, "a") as f:
+        f.write(",".join(str(kw.get(c, "")) for c in cols) + "\n")
+
+
+def fold_phase_bytes(P, n_val, K, M, itemsize, weighted):
+    """Minimum HBM traffic of the fold phase (the roofline denominator).
+
+    Per fold: write XTX (K*K) + XTY (K*M) + stats; read the gathered
+    validation rows (WX, X if weighted, Y, WY if weighted, w) and the
+    replicated globals once per fold batch (amortised -> ignored).
+    """
+    out = K * K + K * M + 2 * K + 2 * M
+    rows = n_val * (K * (2 if weighted else 1) + 2 * M + (1 if weighted else 0))
+    return P * (out + rows) * itemsize
+
+
+def run_cvmatrix(cfg_flags, P, X, Y, weights, batch, mode="warmjit"):
+    import jax
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu import CVConfig, Partitioner, fit, training_XTX_XTY
+
+    cx, cy, sx, sy = cfg_flags
+    dtype = X.dtype.type
+    cfg = CVConfig(cx, cy, sx, sy, ddof=1, dtype=dtype)
+    n = X.shape[0]
+    p = Partitioner(np.arange(n) % P)
+    buckets = {}
+    for k, v in p.folds_dict.items():
+        buckets.setdefault(v.size, []).append(v)
+    stacks = [np.stack(vs) for vs in buckets.values()]
+
+    vfold = jax.vmap(training_XTX_XTY, in_axes=(None, None, 0))
+    jfold = jax.jit(vfold, static_argnums=(0,))
+    # Probe-chained timing: block_until_ready can return at enqueue on
+    # remote-tunneled runtimes; chaining a dependent scalar and fetching it
+    # once is the honest completion barrier.
+    probe = jax.jit(
+        lambda o, s: (o[0][0][0, 0, 0] + o[0][1][0, 0, 0]).astype(jnp.float64) + s
+    )
+
+    Xd = jnp.asarray(X)
+    Yd = jnp.asarray(Y)
+    wd = None if weights is None else jnp.asarray(weights)
+    jfit = jax.jit(
+        lambda c, x, y, w: fit(c, x, y, w, validate=False), static_argnums=(0,)
+    )
+
+    def run(fold_fn, state):
+        s = jnp.zeros((), jnp.float64)
+        for stack in stacks:
+            d = jnp.asarray(stack)
+            for off in range(0, d.shape[0], batch):
+                s = probe(fold_fn(cfg, state, d[off : off + batch]), s)
+        float(s)
+
+    def fit_once():
+        st = jfit(cfg, Xd, Yd, wd)
+        float(st.XTX[0, 0])
+        return st
+
+    if mode == "nojit":
+        t0 = time.perf_counter()
+        st = fit_once()
+        t_fit = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(vfold, st)
+        t_folds = time.perf_counter() - t0
+        return t_fit, t_folds
+
+    if mode == "coldjit":
+        t0 = time.perf_counter()
+        st = fit_once()
+        t_fit = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(jfold, st)
+        t_folds = time.perf_counter() - t0
+        return t_fit, t_folds
+
+    # warmjit: compile first, measure second.
+    st = fit_once()
+    run(jfold, st)
+    t0 = time.perf_counter()
+    st = fit_once()
+    t_fit = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(jfold, st)
+    t_folds = time.perf_counter() - t0
+    return t_fit, t_folds
+
+
+def run_naive(cfg_flags, P, X, Y, weights):
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    from oracle import NaiveOracle
+
+    cx, cy, sx, sy = cfg_flags
+    n = X.shape[0]
+    folds = np.arange(n) % P
+    t0 = time.perf_counter()
+    o = NaiveOracle(cx, cy, sx, sy, ddof=1, dtype=X.dtype).fit(X, Y, weights)
+    all_idx = np.arange(n)
+    for f in range(P):
+        o.training_XTX_XTY(all_idx[folds != f])
+    return time.perf_counter() - t0
+
+
+def main():
+    import jax
+
+    from cvmatrix_tpu import __version__
+
+    N = int(os.environ.get("BENCH_N", 100_000))
+    K = int(os.environ.get("BENCH_K", 500))
+    M = int(os.environ.get("BENCH_M", 10))
+    Ps = [int(x) for x in os.environ.get(
+        "BENCH_PS", "3,5,10,100,1000,10000,100000").split(",")]
+    dtype = np.dtype(os.environ.get("BENCH_DTYPE", "float64"))
+    batch = int(os.environ.get("BENCH_BATCH", 2000))
+    csv_path = os.environ.get("BENCH_CSV", "benchmark_results.csv")
+    modes = os.environ.get("BENCH_MODES", "warmjit").split(",")
+    if dtype.itemsize >= 8:
+        jax.config.update("jax_enable_x64", True)
+
+    if os.environ.get("BENCH_CONFIGS", "plot") == "plot":
+        configs = [
+            (False, False, False, False),
+            (True, True, False, False),
+            (True, True, True, True),
+        ]
+    else:
+        configs = list(product([True, False], repeat=4))
+
+    # v5e HBM roofline ~819 GB/s; override per chip via BENCH_HBM_GBPS.
+    hbm_roof = float(os.environ.get("BENCH_HBM_GBPS", 819.0))
+
+    rng = np.random.default_rng(42)
+    X = rng.random((N, K)).astype(dtype)
+    Y = rng.random((N, M)).astype(dtype)
+    weights = rng.random(N).astype(dtype)
+    platform = jax.devices()[0].platform
+
+    for use_w, flags, P in product([True, False], configs, Ps):
+        w = weights if use_w else None
+        for mode in modes:
+            t_fit, t_folds = run_cvmatrix(flags, P, X, Y, w, batch, mode)
+            total = t_fit + t_folds
+            gbps = fold_phase_bytes(
+                P, N // P, K, M, dtype.itemsize, use_w
+            ) / t_folds / 1e9
+            print(
+                f"CVMatrix-tpu-{platform}-{mode} w={use_w} P={P} "
+                f"flags={flags}: total={total:.3f}s (fit {t_fit:.3f} + folds "
+                f"{t_folds:.3f}) {P/total:,.0f} folds/s, "
+                f"{gbps:.0f} GB/s ({gbps/hbm_roof:.0%} of roofline)",
+                flush=True,
+            )
+            save_row(
+                csv_path,
+                model=f"CVMatrix-tpu-{platform}-{mode}",
+                weights=use_w, P=P, N=N, K=K, M=M,
+                center_X=flags[0], center_Y=flags[1],
+                scale_X=flags[2], scale_Y=flags[3],
+                time=round(total, 4), fit_time=round(t_fit, 4),
+                folds_time=round(t_folds, 4),
+                folds_per_sec=round(P / total, 1),
+                gbps=round(gbps, 1), version=__version__,
+            )
+        if os.environ.get("BENCH_NAIVE", "0") == "1":
+            t = run_naive(flags, P, X, Y, w)
+            print(f"NaiveOracle w={use_w} P={P} flags={flags}: {t:.2f}s",
+                  flush=True)
+            save_row(
+                csv_path, model="NaiveOracle", weights=use_w, P=P, N=N, K=K,
+                M=M, center_X=flags[0], center_Y=flags[1], scale_X=flags[2],
+                scale_Y=flags[3], time=round(t, 4), version=__version__,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Plot benchmark CSVs (counterpart of the reference's plot_benchmark.py).
+
+Figure families:
+  1. fast engine vs naive oracle over P (log-log)         -> *_vs_naive.png
+  2. all preprocessing combinations over P                -> *_combos.png
+  3. fold-phase achieved GB/s vs the HBM roofline over P  -> *_roofline.png
+     (TPU-native; no reference equivalent)
+
+Usage: python benchmarks/plot_benchmark.py [results.csv]
+"""
+
+import os
+import sys
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import pandas as pd
+
+FLAG_COLS = ["center_X", "center_Y", "scale_X", "scale_Y"]
+
+
+def flag_label(row):
+    return "".join("T" if row[c] in (True, "True") else "F" for c in FLAG_COLS)
+
+
+def plot_vs_naive(df, out):
+    fast = df[df.model.str.startswith("CVMatrix")]
+    naive = df[df.model == "NaiveOracle"]
+    if naive.empty:
+        return
+    fig, ax = plt.subplots(figsize=(6, 6))
+    for (label), g in fast.assign(flags=fast.apply(flag_label, axis=1)).groupby(
+        "flags"
+    ):
+        g = g.sort_values("P")
+        ax.loglog(g.P, g.time, marker="o", label=f"fast {label}")
+    for (label), g in naive.assign(flags=naive.apply(flag_label, axis=1)).groupby(
+        "flags"
+    ):
+        g = g.sort_values("P")
+        ax.loglog(g.P, g.time, marker="x", ls="--", label=f"naive {label}")
+    ax.set_xlabel("P (folds)")
+    ax.set_ylabel("total cross-validation time (s)")
+    ax.legend()
+    ax.grid(True, which="both", alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print("wrote", out)
+
+
+def plot_combos(df, out):
+    fast = df[df.model.str.startswith("CVMatrix")]
+    if fast.empty:
+        return
+    fig, ax = plt.subplots(figsize=(6, 6))
+    fast = fast.assign(flags=fast.apply(flag_label, axis=1))
+    for (flags, w), g in fast.groupby(["flags", "weights"]):
+        g = g.sort_values("P")
+        ax.loglog(g.P, g.time, marker="o", alpha=0.7,
+                  label=f"{flags} {'w' if w in (True, 'True') else 'unw'}")
+    ax.set_xlabel("P (folds)")
+    ax.set_ylabel("total cross-validation time (s)")
+    ax.legend(fontsize=7, ncol=2)
+    ax.grid(True, which="both", alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print("wrote", out)
+
+
+def plot_roofline(df, out, hbm_gbps=819.0):
+    fast = df[df.model.str.startswith("CVMatrix") & df.gbps.notna()]
+    if fast.empty:
+        return
+    fig, ax = plt.subplots(figsize=(6, 6))
+    fast = fast.assign(flags=fast.apply(flag_label, axis=1))
+    for flags, g in fast.groupby("flags"):
+        g = g.sort_values("P")
+        ax.semilogx(g.P, g.gbps, marker="o", label=flags)
+    ax.axhline(hbm_gbps, color="k", ls=":", label="HBM roofline")
+    ax.set_xlabel("P (folds)")
+    ax.set_ylabel("fold-phase achieved GB/s")
+    ax.legend()
+    ax.grid(True, which="both", alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    csv = sys.argv[1] if len(sys.argv) > 1 else "benchmark_results.csv"
+    df = pd.read_csv(csv)
+    base = os.path.splitext(csv)[0]
+    plot_vs_naive(df, base + "_vs_naive.png")
+    plot_combos(df, base + "_combos.png")
+    plot_roofline(df, base + "_roofline.png")

@@ -22,9 +22,19 @@ from typing import Literal, Optional, Tuple
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from ..config import CVConfig
 from ..core import fold as _fold
 from ..core.fit import fit as _fit_fn
+
+# One compiled fit per (config, shapes): validation runs host-side first, so
+# the jitted body skips its (trace-incompatible) eager weight check.
+_fit_jitted = jax.jit(
+    lambda config, X, Y, w: _fit_fn(config, X, Y, w, validate=False),
+    static_argnums=(0,),
+)
 from ..core.state import FitState
 from ..utils.tracing import ensure_x64
 
@@ -177,9 +187,22 @@ class CVMatrix:
         """Load data and compute dataset-wide products/statistics.
 
         Mirrors ref ``fit`` (:207-328); raises ``ValueError`` for negative
-        weights. Returns ``self`` for chaining.
+        weights. Returns ``self`` for chaining. The compute is jitted (one
+        compile per config + input shapes); validation runs eagerly first.
         """
-        self.state = _fit_fn(self.config, X, Y, weights)
+        w = None
+        if weights is not None:
+            w = jnp.asarray(weights, dtype=self.config.dtype)
+            if w.ndim == 1:
+                w = w.reshape(-1, 1)
+            if bool(jnp.any(w < 0)):
+                raise ValueError("Weights must be non-negative.")
+        self.state = _fit_jitted(
+            self.config,
+            jnp.asarray(X, dtype=self.config.dtype),
+            None if Y is None else jnp.asarray(Y, dtype=self.config.dtype),
+            w,
+        )
         return self
 
     def _require_fit(self) -> FitState:

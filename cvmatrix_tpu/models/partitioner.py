@@ -57,6 +57,22 @@ class Partitioner:
 
     @staticmethod
     def _build(folds: Iterable[Hashable]) -> Dict[Hashable, np.ndarray]:
+        if (
+            isinstance(folds, np.ndarray)
+            and folds.ndim == 1
+            and folds.dtype.kind in "iu"
+        ):
+            # Native O(N) single-pass grouping (ctypes -> csrc/fastpartition.cpp);
+            # preserves first-appearance key order like the reference's dict.
+            from ..native import partition_int64
+
+            res = partition_int64(folds)
+            if res is not None:
+                keys, groups = res
+                return {
+                    folds.dtype.type(k): np.asarray(g, dtype=int)
+                    for k, g in zip(keys, groups)
+                }
         if isinstance(folds, np.ndarray) and folds.ndim == 1:
             # Vectorised path: sort once, split by fold, order keys by first
             # appearance (matching the reference's insertion-order dict).
