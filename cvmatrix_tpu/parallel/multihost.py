@@ -1,0 +1,171 @@
+"""Multi-host entry points (jax.distributed + host-local data feeding).
+
+The reference is single-process; this is the new scaling layer SURVEY.md §2
+calls for ("row sharding across a multi-host slice with psum over ICI/DCN").
+The compute path is :mod:`cvmatrix_tpu.parallel.distributed` unchanged — a
+``Mesh`` over all global devices makes its psum collectives span hosts. This
+module adds the process-level plumbing:
+
+- :func:`initialize` — ``jax.distributed.initialize`` with env autodetection.
+- :func:`host_row_slice` — which dataset rows this process should load.
+- :func:`fit_sharded_multihost` — build the row-sharded global arrays from
+  host-local shards (no host ever materialises the full dataset) and run the
+  sharded fit.
+
+Single-host meshes degenerate gracefully (process_count() == 1), so the same
+code runs everywhere; the multi-process path follows the standard
+``jax.make_array_from_process_local_data`` contract.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..config import CVConfig
+from ..core.state import FitState
+from .distributed import ROWS, fit_sharded, make_mesh
+
+__all__ = [
+    "initialize",
+    "global_mesh",
+    "host_row_slice",
+    "fit_sharded_multihost",
+]
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialise the multi-process JAX runtime (no-op if single-process).
+
+    On Cloud TPU the arguments are autodetected from the environment; pass
+    them explicitly elsewhere.
+    """
+    if jax.process_count() > 1:
+        return  # already initialised
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # Single-process environment (no coordinator): run locally.
+        pass
+
+
+def global_mesh() -> Mesh:
+    """1-D ``rows`` mesh over every device of every host."""
+    return make_mesh(jax.devices())
+
+
+def host_row_slice(n_rows: int, mesh: Mesh) -> Tuple[int, int]:
+    """[start, stop) of the dataset rows this process should load.
+
+    Rows are padded (virtually) to a multiple of the device count; the last
+    process's stop is clamped to ``n_rows``. Use together with
+    :func:`fit_sharded_multihost`.
+    """
+    n_dev = mesh.devices.size
+    per_shard = -(-n_rows // n_dev)  # ceil
+    local = [d for d in mesh.devices.flat if d.process_index == jax.process_index()]
+    firsts = sorted(
+        i for i, d in enumerate(mesh.devices.flat)
+        if d.process_index == jax.process_index()
+    )
+    start = firsts[0] * per_shard
+    stop = min((firsts[-1] + 1) * per_shard, n_rows)
+    del local
+    return start, min(start + max(0, stop - start), n_rows)
+
+
+def fit_sharded_multihost(
+    config: CVConfig,
+    mesh: Mesh,
+    host_X: np.ndarray,
+    host_Y: Optional[np.ndarray] = None,
+    host_weights: Optional[np.ndarray] = None,
+    *,
+    n_rows_global: Optional[int] = None,
+) -> FitState:
+    """Sharded fit from host-local row blocks.
+
+    Each process passes only ITS rows (per :func:`host_row_slice`); the
+    global row-sharded arrays are assembled with
+    ``jax.make_array_from_process_local_data`` and the standard sharded fit
+    runs on top. With one process this is exactly :func:`fit_sharded`.
+    """
+    if jax.process_count() == 1:
+        return fit_sharded(config, mesh, host_X, host_Y, host_weights)
+
+    n_dev = mesh.devices.size
+    if n_rows_global is None:
+        raise ValueError("n_rows_global is required with multiple processes.")
+    per_shard = -(-n_rows_global // n_dev)
+    n_padded = per_shard * n_dev
+
+    dtype = config.dtype
+    row = NamedSharding(mesh, P(ROWS, None))
+
+    def build(host_block, width, pad_value=0.0):
+        if host_block is None:
+            return None
+        hb = np.asarray(host_block, dtype=dtype)
+        if hb.ndim == 1:
+            hb = hb[:, None]
+        start, stop = host_row_slice(n_rows_global, mesh)
+        want = sum(
+            per_shard for d in mesh.devices.flat
+            if d.process_index == jax.process_index()
+        )
+        if hb.shape[0] < want:  # zero-pad this host's tail shard
+            hb = np.concatenate(
+                [hb, np.full((want - hb.shape[0], hb.shape[1]), pad_value, dtype)]
+            )
+        return jax.make_array_from_process_local_data(row, hb,
+                                                      (n_padded, hb.shape[1]))
+
+    # Zero-weight padding preserves all statistics exactly (see
+    # distributed._pad_rows); unweighted data gets unit weights with zero
+    # pads for the same reason.
+    w = host_weights
+    if w is None:
+        start, stop = host_row_slice(n_rows_global, mesh)
+        w = np.ones(max(0, stop - start), dtype)
+    Xg = build(host_X, None)
+    Yg = build(host_Y, None)
+    wg = build(w, None, pad_value=0.0)
+
+    from functools import partial
+
+    from ..core.fit import fit as _fit
+
+    rep = NamedSharding(mesh, P())
+
+    def spec(state: FitState) -> FitState:
+        def mark(x, s):
+            return None if x is None else s
+
+        return FitState(
+            X=row, WX=row, Y=mark(state.Y, row), WY=mark(state.WY, row),
+            weights=mark(state.weights, row),
+            XTX=rep, XTY=mark(state.XTY, rep),
+            sum_X=mark(state.sum_X, rep), sum_Y=mark(state.sum_Y, rep),
+            sum_sq_X=mark(state.sum_sq_X, rep),
+            sum_sq_Y=mark(state.sum_sq_Y, rep),
+            sum_w=mark(state.sum_w, rep),
+            num_nonzero_w=mark(state.num_nonzero_w, rep),
+        )
+
+    shape_state = jax.eval_shape(partial(_fit, config, validate=False),
+                                 Xg, Yg, wg)
+    return jax.jit(
+        partial(_fit, config, validate=False), out_shardings=spec(shape_state)
+    )(Xg, Yg, wg)
