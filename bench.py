@@ -17,6 +17,7 @@ Prints ONE JSON line to stdout. Environment knobs (reference-compatible):
 BENCH_N, BENCH_K, BENCH_M, BENCH_P, BENCH_BATCH, BENCH_DTYPE.
 """
 
+import functools
 import json
 import os
 import sys
@@ -38,7 +39,7 @@ def main():
     M = int(os.environ.get("BENCH_M", 10))
     P = int(os.environ.get("BENCH_P", N))  # LOOCV by default
     dtype = np.dtype(os.environ.get("BENCH_DTYPE", "float64")).type
-    batch = int(os.environ.get("BENCH_BATCH", 2000))
+    batch = int(os.environ.get("BENCH_BATCH", 500))
 
     if np.dtype(dtype).itemsize >= 8:
         jax.config.update("jax_enable_x64", True)
@@ -54,8 +55,8 @@ def main():
     weights = rng.random(N).astype(dtype)
     cfg = CVConfig(True, True, True, True, ddof=1, dtype=dtype)
 
-    # Fold batches: P folds = (i % P); bucket by size like the reference's
-    # jax driver (benchmark.py:144-152), chunked by `batch`.
+    # Fold index batches, bucketed by size so every bucket vmaps with one
+    # fixed shape (the reference driver's strategy, benchmark.py:144-152).
     p = Partitioner(np.arange(N) % P)
     buckets = {}
     for k, v in p.folds_dict.items():
@@ -69,29 +70,49 @@ def main():
 
     # NOTE on timing honesty: on remote-tunneled TPU runtimes (axon),
     # block_until_ready can return at enqueue. Every measurement therefore
-    # chains a tiny probe that DEPENDS on the produced buffers and fetches
-    # one scalar to the host at the end — the fetch cannot complete before
-    # the device work has.
-    probe = jax.jit(lambda o, s: o[0][0][0, 0, 0] + o[0][1][0, 0, 0] + s)
+    # fetches a scalar that DEPENDS on the produced buffers at the end — the
+    # fetch cannot complete before the device work has.
 
     def fit_once():
         st = jfit(cfg, Xd, Yd, wd)
         float(st.XTX[0, 0])  # host fetch = completion barrier
         return st
 
-    fold_fn = jax.jit(
-        jax.vmap(training_XTX_XTY, in_axes=(None, None, 0)),
-        static_argnums=(0,),
-    )
+    # Fold sweep: ONE dispatch per size bucket. A lax.fori_loop walks the
+    # fold chunks on device; every chunk's full (B, K, K) / (B, K, M)
+    # training matrices are materialised in HBM, written into the loop-carried
+    # buffer (so no fold's computation can be dead-code-eliminated), and
+    # overwritten by the next chunk — materialise-then-consume, exactly the
+    # per-chunk lifecycle of the reference's chunked driver
+    # (benchmark.py:148-152) minus the per-chunk host round-trip, which on a
+    # TPU behind a dispatch boundary otherwise dominates at LOOCV scale.
+    fold_fn = jax.vmap(training_XTX_XTY, in_axes=(None, None, 0))
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def sweep_bucket(n_chunks, st, bs, idx):
+        def body(c, carry):
+            chunk = jax.lax.dynamic_slice_in_dim(idx, c * bs, bs, 0)
+            (xtx, xty), _ = fold_fn(cfg, st, chunk)
+            return (xtx, xty)
+        bufs = (
+            jnp.zeros((bs, K, K), dtype),
+            jnp.zeros((bs, K, M), dtype),
+        )
+        bufs = jax.lax.fori_loop(0, n_chunks, body, bufs)
+        return bufs[0][0, 0, 0] + bufs[1][0, 0, 0]
 
     def run_folds(st):
-        s = jnp.zeros((), dtype=dtype)
+        s = 0.0
         for stack in stacks:
+            n_folds = stack.shape[0]
+            bs = min(batch, n_folds)
+            n_chunks = n_folds // bs
             dstack = jnp.asarray(stack)
-            for off in range(0, dstack.shape[0], batch):
-                out = fold_fn(cfg, st, dstack[off : off + batch])
-                s = probe(out, s)
-        return float(s)  # single host fetch; forces all chunks to complete
+            s += float(sweep_bucket(n_chunks, st, bs, dstack))
+            rem = n_folds - n_chunks * bs
+            if rem:  # remainder chunk: one extra fixed-shape dispatch
+                s += float(sweep_bucket(1, st, rem, dstack[-rem:]))
+        return s  # host scalar fetches force all device work to complete
 
     # Warm-up: compile fit + fold programs (cold-JIT excluded, like the
     # reference's warmjit mode).

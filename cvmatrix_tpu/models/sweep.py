@@ -24,7 +24,7 @@ from ..core.fold import training_matrices
 from ..core.state import FitState
 from .partitioner import Partitioner
 
-__all__ = ["cross_validate"]
+__all__ = ["cross_validate", "cross_validate_reduce"]
 
 
 def _auto_batch(n_folds: int, k: int, m: int, itemsize: int,
@@ -94,6 +94,83 @@ def cross_validate(
             else:
                 out = fold_fn(state, chunk_idx, mask_d[s : s + bs])
             yield keys[s : s + bs], out
+
+
+def cross_validate_reduce(
+    config: CVConfig,
+    state: FitState,
+    idx_batch,
+    mask_batch=None,
+    *,
+    reduce_fn,
+    return_XTX: bool = True,
+    return_XTY: bool = True,
+    batch_size: int = 512,
+):
+    """Map ``reduce_fn`` over every fold's training matrices — ON DEVICE.
+
+    The single-dispatch CV sweep. :func:`cross_validate` returns control to
+    Python between chunks; on accelerators behind a dispatch boundary (and on
+    any TPU at LOOCV scale) per-chunk dispatch latency then dominates the
+    actual math by multiples. This driver instead compiles ONE program: a
+    ``lax.scan`` over fold chunks whose body computes a chunk's training
+    matrices with ``jax.vmap`` and immediately consumes them with
+    ``reduce_fn`` — fold outputs never leave HBM, and only the (small)
+    reductions are stacked and returned. This mirrors real downstream use
+    (e.g. per-fold regression coefficients), where the K x K / K x M
+    matrices are intermediates, not artifacts.
+
+    Parameters
+    ----------
+    idx_batch : (P, L) per-fold validation indices (see
+        :meth:`Partitioner.padded_batches`). ``P`` is padded internally to a
+        multiple of ``batch_size`` by repeating the last fold; padded results
+        are dropped before returning.
+    mask_batch : optional (P, L) 0/1 validity mask for padded fold rows.
+    reduce_fn : ``(matrices, stats) -> pytree`` applied per fold under
+        ``vmap`` (so it must be traceable). ``matrices``/``stats`` have the
+        same structure as :func:`training_matrices` for one fold.
+    batch_size : folds per scan step; bounds peak HBM for fold outputs.
+
+    Returns the stacked reductions with leading axis ``P``.
+    """
+    idx = jnp.asarray(idx_batch)
+    n_folds = idx.shape[0]
+    mask = None if mask_batch is None else jnp.asarray(mask_batch, config.dtype)
+    bs = min(batch_size, n_folds)
+    pad = (-n_folds) % bs
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(idx[-1:], (pad,) + idx.shape[1:])]
+        )
+        if mask is not None:
+            mask = jnp.concatenate(
+                [mask, jnp.broadcast_to(mask[-1:], (pad,) + mask.shape[1:])]
+            )
+    n_chunks = idx.shape[0] // bs
+    idx_c = idx.reshape(n_chunks, bs, *idx.shape[1:])
+    mask_c = None if mask is None else mask.reshape(n_chunks, bs, *mask.shape[1:])
+
+    def one_fold(st, v, mk):
+        out = training_matrices(
+            config, st, v, mk, return_XTX=return_XTX, return_XTY=return_XTY
+        )
+        return reduce_fn(*out)
+
+    vmapped = jax.vmap(one_fold, in_axes=(None, 0, 0 if mask_c is not None else None))
+
+    @jax.jit
+    def sweep(st, idx_c, mask_c):
+        def body(_, chunk):
+            ci, cm = chunk
+            return None, vmapped(st, ci, cm)
+
+        _, stacked = jax.lax.scan(body, None, (idx_c, mask_c))
+        return stacked
+
+    out = sweep(state, idx_c, mask_c)
+    out = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:n_folds], out)
+    return out
 
 
 def cross_validate_dict(

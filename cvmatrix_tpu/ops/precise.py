@@ -121,22 +121,46 @@ def ozaki_contract(
     a_scaled = a.astype(f64) * _pow2(-e_a)[None, :]
     b_scaled = b.astype(f64) * _pow2(-e_b)[None, :]
 
+    # Significant slice pairs: i + j <= n_slices - 1 (smaller products fall
+    # below the f64 target precision). Scanned with ONE compiled int8 matmul
+    # in the body instead of unrolling all ~n_slices^2/2 of them — same
+    # arithmetic, ~50x less XLA compile work.
+    pairs_i, pairs_j = np.array(
+        [(i, j) for i in range(n_slices) for j in range(n_slices - i)]
+    ).T
+    # 2^-T_BITS(i+j+2) are exact powers of two (f64 constants).
+    pair_scale = 2.0 ** (-_T_BITS * (pairs_i + pairs_j + 2.0))
+
+    def pair_step(carry, ijs):
+        # Slices ride in the carry (loop-invariant): passing them explicitly
+        # instead of closing over them keeps the traced body free of captured
+        # chunk constants (closure capture + scan's trace cache would reuse
+        # the first chunk's data for later same-shape chunks).
+        acc, sa, sb = carry
+        i, j, sc = ijs
+        d = jax.lax.dot_general(
+            jax.lax.dynamic_index_in_dim(sa, i, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(sb, j, 0, keepdims=False),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (acc + d.astype(f64) * sc, sa, sb), None
+
     acc = jnp.zeros((a.shape[1], b.shape[1]), dtype=f64)
     # Chunk over rows so every int32 accumulation is provably exact.
     for start in range(0, max(n, 1), _MAX_CHUNK):
         stop = min(start + _MAX_CHUNK, n)
-        sa = _mantissa_slices(a_scaled[start:stop], n_slices)
-        sb = _mantissa_slices(b_scaled[start:stop], n_slices)
-        for i in range(n_slices):
-            for j in range(n_slices - i):
-                d = jax.lax.dot_general(
-                    sa[i],
-                    sb[j],
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                # 2^-T_BITS(i+j+2) is a compile-time float constant: exact.
-                acc = acc + d.astype(f64) * (2.0 ** (-_T_BITS * (i + j + 2)))
+        sa = jnp.stack(_mantissa_slices(a_scaled[start:stop], n_slices))
+        sb = jnp.stack(_mantissa_slices(b_scaled[start:stop], n_slices))
+        (acc, _, _), _ = jax.lax.scan(
+            pair_step,
+            (acc, sa, sb),
+            (
+                jnp.asarray(pairs_i, jnp.int32),
+                jnp.asarray(pairs_j, jnp.int32),
+                jnp.asarray(pair_scale, f64),
+            ),
+        )
     out = acc * _pow2(e_a[:, None] + e_b[None, :])
     return out.astype(out_dtype)
 

@@ -5,7 +5,11 @@ import pytest
 from numpy.testing import assert_allclose
 
 from cvmatrix_tpu import CVConfig, CVMatrix, Partitioner, fit
-from cvmatrix_tpu.models.sweep import cross_validate, cross_validate_dict
+from cvmatrix_tpu.models.sweep import (
+    cross_validate,
+    cross_validate_dict,
+    cross_validate_reduce,
+)
 
 from .data import make_dataset
 
@@ -38,6 +42,56 @@ def test_sweep_chunking_covers_all_folds():
         seen.extend(keys)
         assert out[0][0].shape[0] == len(keys)
     assert sorted(seen) == sorted(p.folds_dict)
+
+
+@pytest.mark.parametrize("batch_size", [3, 7, 64])
+def test_reduce_sweep_matches_eager(batch_size):
+    """Single-dispatch on-device sweep: reductions match per-fold eager."""
+    cfg = CVConfig(True, True, True, True, 1)
+    st = fit(cfg, X_ALL[:, :5], Y_ALL, WEIGHTS)
+    ref = CVMatrix().fit(X_ALL[:, :5], Y_ALL, WEIGHTS)
+    p = Partitioner(np.arange(X_ALL.shape[0]) % 13)  # 13 equal-size folds
+    keys, idx, mask = p.padded_batches()
+
+    def reduce_fn(mats, stats):
+        xtx, xty = mats
+        # a downstream-style reduction: ridge-ish solve statistic + traces
+        return {
+            "tr": np.trace(np.eye(5)) * 0 + xtx.trace(),
+            "xty0": xty[:, 0],
+            "mX": stats[0],
+        }
+
+    out = cross_validate_reduce(
+        cfg, st, idx, mask, reduce_fn=reduce_fn, batch_size=batch_size
+    )
+    assert out["tr"].shape == (len(keys),)
+    assert out["xty0"].shape == (len(keys), 5)
+    for i, k in enumerate(keys):
+        (rx, ry), rstats = ref.training_XTX_XTY(p.get_validation_indices(k))
+        assert_allclose(float(out["tr"][i]), float(np.trace(rx)), atol=1e-10)
+        assert_allclose(np.asarray(out["xty0"][i]), np.asarray(ry)[:, 0],
+                        atol=1e-10)
+        assert_allclose(np.asarray(out["mX"][i]), np.asarray(rstats[0]),
+                        atol=1e-10)
+
+
+def test_reduce_sweep_unequal_folds_masked():
+    """Padded+masked heterogeneous folds through the scan sweep."""
+    cfg = CVConfig(True, False, False, True, 0)
+    st = fit(cfg, X_ALL[:, :5], Y_ALL, WEIGHTS)
+    ref = CVMatrix(True, False, False, True, 0).fit(X_ALL[:, :5], Y_ALL,
+                                                    WEIGHTS)
+    p = Partitioner(FOLDS)  # 3 unequal folds -> mask path
+    keys, idx, mask = p.padded_batches()
+    assert mask is not None
+    out = cross_validate_reduce(
+        cfg, st, idx, mask, reduce_fn=lambda mats, stats: mats, batch_size=2
+    )
+    for i, k in enumerate(keys):
+        (rx, ry), _ = ref.training_XTX_XTY(p.get_validation_indices(k))
+        assert_allclose(np.asarray(out[0][i]), np.asarray(rx), atol=1e-10)
+        assert_allclose(np.asarray(out[1][i]), np.asarray(ry), atol=1e-10)
 
 
 def test_sweep_xtx_only():
