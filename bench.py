@@ -14,7 +14,9 @@ Baseline: the fastest published reference number for this configuration is
 folds/s. ``vs_baseline`` is our folds/s over that.
 
 Prints ONE JSON line to stdout. Environment knobs (reference-compatible):
-BENCH_N, BENCH_K, BENCH_M, BENCH_P, BENCH_BATCH, BENCH_DTYPE.
+BENCH_N, BENCH_K, BENCH_M, BENCH_P, BENCH_BATCH, BENCH_DTYPE, plus
+BENCH_IMPL=auto|pallas|xla (auto = fused double-float Pallas kernel on
+TPU f64, raw hi/lo pair materialisation — see chunk_mats below).
 """
 
 import functools
@@ -44,10 +46,13 @@ def main():
     if np.dtype(dtype).itemsize >= 8:
         jax.config.update("jax_enable_x64", True)
 
-    from cvmatrix_tpu import CVConfig, Partitioner, fit, training_XTX_XTY
+    from cvmatrix_tpu import CVConfig, Partitioner, fit
+    from cvmatrix_tpu.core.batch import training_matrices_batched
+
+    impl = os.environ.get("BENCH_IMPL", "auto")
 
     log(f"bench: N={N} K={K} M={M} P={P} dtype={np.dtype(dtype).name} "
-        f"batch={batch} device={jax.devices()[0]}")
+        f"batch={batch} impl={impl} device={jax.devices()[0]}")
 
     rng = np.random.default_rng(42)
     X = rng.random((N, K), dtype=np.float64).astype(dtype)
@@ -79,27 +84,49 @@ def main():
         return st
 
     # Fold sweep: ONE dispatch per size bucket. A lax.fori_loop walks the
-    # fold chunks on device; every chunk's full (B, K, K) / (B, K, M)
-    # training matrices are materialised in HBM, written into the loop-carried
-    # buffer (so no fold's computation can be dead-code-eliminated), and
-    # overwritten by the next chunk — materialise-then-consume, exactly the
-    # per-chunk lifecycle of the reference's chunked driver
-    # (benchmark.py:148-152) minus the per-chunk host round-trip, which on a
-    # TPU behind a dispatch boundary otherwise dominates at LOOCV scale.
-    fold_fn = jax.vmap(training_XTX_XTY, in_axes=(None, None, 0))
+    # fold chunks on device; every chunk's full per-fold training matrices
+    # are materialised in HBM, written into the loop-carried buffer (so no
+    # fold's computation can be dead-code-eliminated), and overwritten by the
+    # next chunk — materialise-then-consume, exactly the per-chunk lifecycle
+    # of the reference's chunked driver (benchmark.py:148-152) minus the
+    # per-chunk host round-trip, which on a TPU behind a dispatch boundary
+    # otherwise dominates at LOOCV scale.
+    #
+    # On TPU+f64 the folds route through the fused double-float Pallas kernel
+    # with raw pair output: each fold's matrices land in HBM as f32 (hi, lo)
+    # pairs — hi + lo IS the f64 value, same 8 bytes/element, one HBM pass —
+    # instead of XLA's op-by-op emulated-f64 layout. BENCH_IMPL=xla forces
+    # the plain vmapped engine for comparison.
+    use_pairs = (
+        impl != "xla"
+        and jax.default_backend() == "tpu"
+        and np.dtype(dtype).itemsize == 8
+    )
+
+    def chunk_mats(st, chunk):
+        out, _ = training_matrices_batched(
+            cfg, st, chunk,
+            impl="pallas" if use_pairs else impl,
+            pair_output=use_pairs,
+            trim_output=not use_pairs,
+        )
+        return out
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def sweep_bucket(n_chunks, st, bs, idx):
+        buf_sds = jax.eval_shape(
+            chunk_mats, st, jax.ShapeDtypeStruct((bs,) + idx.shape[1:],
+                                                 idx.dtype)
+        )
         def body(c, carry):
             chunk = jax.lax.dynamic_slice_in_dim(idx, c * bs, bs, 0)
-            (xtx, xty), _ = fold_fn(cfg, st, chunk)
-            return (xtx, xty)
-        bufs = (
-            jnp.zeros((bs, K, K), dtype),
-            jnp.zeros((bs, K, M), dtype),
+            return chunk_mats(st, chunk)
+        bufs = jax.lax.fori_loop(
+            0, n_chunks, body,
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), buf_sds),
         )
-        bufs = jax.lax.fori_loop(0, n_chunks, body, bufs)
-        return bufs[0][0, 0, 0] + bufs[1][0, 0, 0]
+        leaves = jax.tree.leaves(bufs)
+        return sum(leaf.reshape(-1)[0] for leaf in leaves)
 
     def run_folds(st):
         s = 0.0

@@ -1,0 +1,118 @@
+"""Batched Pallas-backed training matrices vs the vmapped XLA engine.
+
+On CPU the kernels run through the Pallas interpreter (f32 semantics
+preserved), so the double-float error model is exercised for real: the df64
+path must agree with the f64 engine far inside the 1e-8 contract.
+"""
+
+from itertools import product
+
+import jax
+import jax.experimental.pallas as pl
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from cvmatrix_tpu import CVConfig, Partitioner, fit
+from cvmatrix_tpu.core.batch import training_matrices_batched
+
+from .data import make_dataset, zero_fraction
+
+X_ALL, Y_ALL, FOLDS, WEIGHTS = make_dataset(n=200, k=6, m=2)
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    import cvmatrix_tpu.ops.kernels as kernels
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(kernels.pl, "pallas_call", interp)
+
+
+def _run_both(cfg, X, Y, w, idx, mask, **kw):
+    st = fit(cfg, X, Y, w)
+    ref = training_matrices_batched(cfg, st, idx, mask, impl="xla", **kw)
+    got = training_matrices_batched(cfg, st, idx, mask, impl="pallas", **kw)
+    return ref, got
+
+
+def _assert_close(ref, got, atol):
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        assert_allclose(np.asarray(b), np.asarray(a), atol=atol, rtol=0)
+
+
+@pytest.mark.parametrize("use_w", [False, True])
+def test_df64_batch_flag_lattice(interpret_pallas, use_w):
+    """All 16 combos, f64 pairs vs XLA f64 at 1e-10 (contract is 1e-8)."""
+    p = Partitioner(FOLDS)
+    keys, idx, mask = p.padded_batches()
+    w = zero_fraction(WEIGHTS) if use_w else None
+    for cx, cy, sx, sy in product([False, True], repeat=4):
+        cfg = CVConfig(cx, cy, sx, sy, ddof=1, dtype=np.float64)
+        ref, got = _run_both(cfg, X_ALL, Y_ALL, w, idx, mask)
+        _assert_close(ref, got, 1e-10)
+
+
+def test_df64_batch_xtx_only_and_xty_only(interpret_pallas):
+    cfg = CVConfig(True, False, True, False, ddof=0, dtype=np.float64)
+    p = Partitioner(FOLDS)
+    keys, idx, mask = p.padded_batches()
+    ref, got = _run_both(cfg, X_ALL, Y_ALL, WEIGHTS, idx, mask,
+                         return_XTY=False)
+    _assert_close(ref, got, 1e-10)
+    ref, got = _run_both(cfg, X_ALL, Y_ALL, WEIGHTS, idx, mask,
+                         return_XTX=False)
+    _assert_close(ref, got, 1e-10)
+
+
+def test_df64_batch_loocv_unmasked(interpret_pallas):
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    idx = np.arange(24)[:, None]  # LOOCV on the first 24 rows
+    ref, got = _run_both(cfg, X_ALL, Y_ALL, WEIGHTS, idx, None)
+    _assert_close(ref, got, 1e-10)
+
+
+def test_df64_pair_output(interpret_pallas):
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    st = fit(cfg, X_ALL, Y_ALL, WEIGHTS)
+    idx = np.arange(8)[:, None]
+    (rx, ry), _ = training_matrices_batched(cfg, st, idx, impl="xla")
+    (px, py), _ = training_matrices_batched(
+        cfg, st, idx, impl="pallas", pair_output=True
+    )
+    gx = px[:, 0].astype(np.float64) + px[:, 1].astype(np.float64)
+    gy = py[:, 0].astype(np.float64) + py[:, 1].astype(np.float64)
+    assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-10, rtol=0)
+    assert_allclose(np.asarray(gy), np.asarray(ry), atol=1e-10, rtol=0)
+
+
+def test_f32_batch_kernel(interpret_pallas):
+    """f32 engine routes through the MXU downdate kernel."""
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float32)
+    p = Partitioner(FOLDS)
+    keys, idx, mask = p.padded_batches()
+    ref, got = _run_both(cfg, X_ALL.astype(np.float32),
+                         Y_ALL.astype(np.float32),
+                         WEIGHTS.astype(np.float32), idx, mask)
+    # f32 contract: downdate magnitudes here are O(100); 1e-3 abs ~ 1e-5 rel
+    _assert_close(ref, got, 1e-2)
+
+
+def test_batch_errors():
+    cfg = CVConfig(dtype=np.float64)
+    st = fit(cfg, X_ALL, Y_ALL, WEIGHTS)
+    with pytest.raises(ValueError, match="At least one"):
+        training_matrices_batched(cfg, st, np.arange(4)[:, None],
+                                  return_XTX=False, return_XTY=False)
+    st_no_y = fit(cfg, X_ALL, None, WEIGHTS)
+    with pytest.raises(ValueError, match="not provided"):
+        training_matrices_batched(cfg, st_no_y, np.arange(4)[:, None])
+    with pytest.raises(ValueError, match="pair_output"):
+        training_matrices_batched(cfg, st, np.arange(4)[:, None],
+                                  impl="xla", pair_output=True)
