@@ -19,7 +19,6 @@ BENCH_IMPL=auto|pallas|xla (auto = fused double-float Pallas kernel on
 TPU f64, raw hi/lo pair materialisation — see chunk_mats below).
 """
 
-import functools
 import json
 import os
 import sys
@@ -47,7 +46,7 @@ def main():
         jax.config.update("jax_enable_x64", True)
 
     from cvmatrix_tpu import CVConfig, Partitioner, fit
-    from cvmatrix_tpu.core.batch import training_matrices_batched
+    from cvmatrix_tpu.models.sweep import materialize_sweep
 
     impl = os.environ.get("BENCH_IMPL", "auto")
 
@@ -83,62 +82,16 @@ def main():
         float(st.XTX[0, 0])  # host fetch = completion barrier
         return st
 
-    # Fold sweep: ONE dispatch per size bucket. A lax.fori_loop walks the
-    # fold chunks on device; every chunk's full per-fold training matrices
-    # are materialised in HBM, written into the loop-carried buffer (so no
-    # fold's computation can be dead-code-eliminated), and overwritten by the
-    # next chunk — materialise-then-consume, exactly the per-chunk lifecycle
-    # of the reference's chunked driver (benchmark.py:148-152) minus the
-    # per-chunk host round-trip, which on a TPU behind a dispatch boundary
-    # otherwise dominates at LOOCV scale.
-    #
-    # On TPU+f64 the folds route through the fused double-float Pallas kernel
-    # with raw pair output: each fold's matrices land in HBM as f32 (hi, lo)
-    # pairs — hi + lo IS the f64 value, same 8 bytes/element, one HBM pass —
-    # instead of XLA's op-by-op emulated-f64 layout. BENCH_IMPL=xla forces
-    # the plain vmapped engine for comparison.
-    use_pairs = (
-        impl != "xla"
-        and jax.default_backend() == "tpu"
-        and np.dtype(dtype).itemsize == 8
-    )
-
-    def chunk_mats(st, chunk):
-        out, _ = training_matrices_batched(
-            cfg, st, chunk,
-            impl="pallas" if use_pairs else impl,
-            pair_output=use_pairs,
-            trim_output=not use_pairs,
-        )
-        return out
-
-    @functools.partial(jax.jit, static_argnums=(0, 2))
-    def sweep_bucket(n_chunks, st, bs, idx):
-        buf_sds = jax.eval_shape(
-            chunk_mats, st, jax.ShapeDtypeStruct((bs,) + idx.shape[1:],
-                                                 idx.dtype)
-        )
-        def body(c, carry):
-            chunk = jax.lax.dynamic_slice_in_dim(idx, c * bs, bs, 0)
-            return chunk_mats(st, chunk)
-        bufs = jax.lax.fori_loop(
-            0, n_chunks, body,
-            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), buf_sds),
-        )
-        leaves = jax.tree.leaves(bufs)
-        return sum(leaf.reshape(-1)[0] for leaf in leaves)
-
+    # Fold sweep: one compiled fori_loop per size bucket materialises every
+    # fold's training matrices in HBM (see materialize_sweep — on TPU+f64
+    # they land as double-float hi/lo pairs, hi + lo == the f64 value, via
+    # the fused Pallas kernel; BENCH_IMPL=xla forces the vmapped engine).
     def run_folds(st):
         s = 0.0
         for stack in stacks:
-            n_folds = stack.shape[0]
-            bs = min(batch, n_folds)
-            n_chunks = n_folds // bs
-            dstack = jnp.asarray(stack)
-            s += float(sweep_bucket(n_chunks, st, bs, dstack))
-            rem = n_folds - n_chunks * bs
-            if rem:  # remainder chunk: one extra fixed-shape dispatch
-                s += float(sweep_bucket(1, st, rem, dstack[-rem:]))
+            s += float(materialize_sweep(
+                cfg, st, jnp.asarray(stack), batch_size=batch, impl=impl,
+            ))
         return s  # host scalar fetches force all device work to complete
 
     # Warm-up: compile fit + fold programs (cold-JIT excluded, like the

@@ -9,7 +9,7 @@ CSV. Environment knobs are reference-compatible:
   BENCH_N (100000)   BENCH_K (500)      BENCH_M (10)
   BENCH_PS ("3,5,10,100,1000,10000,100000")
   BENCH_CONFIGS ("plot" = the 3 reference-figure combos | "all" = 16)
-  BENCH_BATCH (2000) fold-batch chunk size
+  BENCH_BATCH (500) fold-batch chunk size
   BENCH_NAIVE ("0")  also time the naive NumPy oracle (very slow)
   BENCH_DTYPE ("float64")
   BENCH_CSV ("benchmark_results.csv")
@@ -64,6 +64,7 @@ def run_cvmatrix(cfg_flags, P, X, Y, weights, batch, mode="warmjit"):
     import jax.numpy as jnp
 
     from cvmatrix_tpu import CVConfig, Partitioner, fit, training_XTX_XTY
+    from cvmatrix_tpu.models.sweep import materialize_sweep
 
     cx, cy, sx, sy = cfg_flags
     dtype = X.dtype.type
@@ -75,15 +76,6 @@ def run_cvmatrix(cfg_flags, P, X, Y, weights, batch, mode="warmjit"):
         buckets.setdefault(v.size, []).append(v)
     stacks = [np.stack(vs) for vs in buckets.values()]
 
-    vfold = jax.vmap(training_XTX_XTY, in_axes=(None, None, 0))
-    jfold = jax.jit(vfold, static_argnums=(0,))
-    # Probe-chained timing: block_until_ready can return at enqueue on
-    # remote-tunneled runtimes; chaining a dependent scalar and fetching it
-    # once is the honest completion barrier.
-    probe = jax.jit(
-        lambda o, s: (o[0][0][0, 0, 0] + o[0][1][0, 0, 0]).astype(jnp.float64) + s
-    )
-
     Xd = jnp.asarray(X)
     Yd = jnp.asarray(Y)
     wd = None if weights is None else jnp.asarray(weights)
@@ -91,25 +83,39 @@ def run_cvmatrix(cfg_flags, P, X, Y, weights, batch, mode="warmjit"):
         lambda c, x, y, w: fit(c, x, y, w, validate=False), static_argnums=(0,)
     )
 
-    def run(fold_fn, state):
-        s = jnp.zeros((), jnp.float64)
-        for stack in stacks:
-            d = jnp.asarray(stack)
-            for off in range(0, d.shape[0], batch):
-                s = probe(fold_fn(cfg, state, d[off : off + batch]), s)
-        float(s)
-
     def fit_once():
         st = jfit(cfg, Xd, Yd, wd)
-        float(st.XTX[0, 0])
+        float(st.XTX[0, 0])  # host scalar fetch = completion barrier
         return st
 
+    def run_all_folds(st):
+        # Single-dispatch sweep per size bucket; the probe fetch completes
+        # all device work (block_until_ready can return at enqueue on
+        # remote-tunneled runtimes).
+        s = 0.0
+        for stack in stacks:
+            s += float(materialize_sweep(
+                cfg, st, jnp.asarray(stack), batch_size=batch,
+            ))
+        return s
+
     if mode == "nojit":
+        # Eager per-chunk dispatch (the reference's nojit vmap mode).
+        vfold = jax.vmap(training_XTX_XTY, in_axes=(None, None, 0))
+        probe = jax.jit(
+            lambda o, s:
+            (o[0][0][0, 0, 0] + o[0][1][0, 0, 0]).astype(jnp.float64) + s
+        )
         t0 = time.perf_counter()
         st = fit_once()
         t_fit = time.perf_counter() - t0
         t0 = time.perf_counter()
-        run(vfold, st)
+        s = jnp.zeros((), jnp.float64)
+        for stack in stacks:
+            d = jnp.asarray(stack)
+            for off in range(0, d.shape[0], batch):
+                s = probe(vfold(cfg, st, d[off : off + batch]), s)
+        float(s)
         t_folds = time.perf_counter() - t0
         return t_fit, t_folds
 
@@ -118,18 +124,18 @@ def run_cvmatrix(cfg_flags, P, X, Y, weights, batch, mode="warmjit"):
         st = fit_once()
         t_fit = time.perf_counter() - t0
         t0 = time.perf_counter()
-        run(jfold, st)
+        run_all_folds(st)
         t_folds = time.perf_counter() - t0
         return t_fit, t_folds
 
     # warmjit: compile first, measure second.
     st = fit_once()
-    run(jfold, st)
+    run_all_folds(st)
     t0 = time.perf_counter()
     st = fit_once()
     t_fit = time.perf_counter() - t0
     t0 = time.perf_counter()
-    run(jfold, st)
+    run_all_folds(st)
     t_folds = time.perf_counter() - t0
     return t_fit, t_folds
 
@@ -161,7 +167,7 @@ def main():
     Ps = [int(x) for x in os.environ.get(
         "BENCH_PS", "3,5,10,100,1000,10000,100000").split(",")]
     dtype = np.dtype(os.environ.get("BENCH_DTYPE", "float64"))
-    batch = int(os.environ.get("BENCH_BATCH", 2000))
+    batch = int(os.environ.get("BENCH_BATCH", 500))
     csv_path = os.environ.get("BENCH_CSV", "benchmark_results.csv")
     modes = os.environ.get("BENCH_MODES", "warmjit").split(",")
     if dtype.itemsize >= 8:

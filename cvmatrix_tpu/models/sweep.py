@@ -24,7 +24,7 @@ from ..core.fold import training_matrices
 from ..core.state import FitState
 from .partitioner import Partitioner
 
-__all__ = ["cross_validate", "cross_validate_reduce"]
+__all__ = ["cross_validate", "cross_validate_reduce", "materialize_sweep"]
 
 
 def _auto_batch(n_folds: int, k: int, m: int, itemsize: int,
@@ -106,6 +106,7 @@ def cross_validate_reduce(
     return_XTX: bool = True,
     return_XTY: bool = True,
     batch_size: int = 512,
+    impl: str = "auto",
 ):
     """Map ``reduce_fn`` over every fold's training matrices — ON DEVICE.
 
@@ -131,9 +132,14 @@ def cross_validate_reduce(
         ``vmap`` (so it must be traceable). ``matrices``/``stats`` have the
         same structure as :func:`training_matrices` for one fold.
     batch_size : folds per scan step; bounds peak HBM for fold outputs.
+    impl : forwarded to the chunk computation — ``"auto"`` routes each
+        chunk's matrices through the fused Pallas kernels on TPU
+        (double-float for f64) and the vmapped XLA engine elsewhere.
 
     Returns the stacked reductions with leading axis ``P``.
     """
+    from ..core.batch import training_matrices_batched
+
     idx = jnp.asarray(idx_batch)
     n_folds = idx.shape[0]
     mask = None if mask_batch is None else jnp.asarray(mask_batch, config.dtype)
@@ -151,26 +157,135 @@ def cross_validate_reduce(
     idx_c = idx.reshape(n_chunks, bs, *idx.shape[1:])
     mask_c = None if mask is None else mask.reshape(n_chunks, bs, *mask.shape[1:])
 
-    def one_fold(st, v, mk):
-        out = training_matrices(
-            config, st, v, mk, return_XTX=return_XTX, return_XTY=return_XTY
-        )
-        return reduce_fn(*out)
-
-    vmapped = jax.vmap(one_fold, in_axes=(None, 0, 0 if mask_c is not None else None))
-
-    @jax.jit
-    def sweep(st, idx_c, mask_c):
-        def body(_, chunk):
-            ci, cm = chunk
-            return None, vmapped(st, ci, cm)
-
-        _, stacked = jax.lax.scan(body, None, (idx_c, mask_c))
-        return stacked
-
-    out = sweep(state, idx_c, mask_c)
+    out = _reduce_sweep_jit(
+        config, return_XTX, return_XTY, impl, reduce_fn, state, idx_c, mask_c
+    )
     out = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:n_folds], out)
     return out
+
+
+def _reduce_sweep_impl(config, return_XTX, return_XTY, impl, reduce_fn,
+                       state, idx_c, mask_c):
+    from ..core.batch import training_matrices_batched
+
+    def one_chunk(ci, cm):
+        mats, stats = training_matrices_batched(
+            config, state, ci, cm,
+            return_XTX=return_XTX, return_XTY=return_XTY, impl=impl,
+        )
+        return jax.vmap(reduce_fn)(mats, stats)
+
+    def body(_, chunk):
+        ci, cm = chunk
+        return None, one_chunk(ci, cm)
+
+    _, stacked = jax.lax.scan(body, None, (idx_c, mask_c))
+    return stacked
+
+
+# Module-level jit: repeat sweeps with the same (config, flags, reduce_fn)
+# and shapes hit the compilation cache instead of re-tracing per call.
+_reduce_sweep_jit = jax.jit(_reduce_sweep_impl, static_argnums=(0, 1, 2, 3, 4))
+
+
+def materialize_sweep(
+    config: CVConfig,
+    state: FitState,
+    idx_batch,
+    mask_batch=None,
+    *,
+    batch_size: int = 500,
+    impl: str = "auto",
+    return_XTX: bool = True,
+    return_XTY: bool = True,
+    jit: bool = True,
+):
+    """Produce EVERY fold's training matrices in HBM; return a probe scalar.
+
+    The throughput primitive behind the benchmarks: one compiled
+    ``lax.fori_loop`` walks the fold chunks, each chunk's full matrices are
+    materialised in device memory (written into the loop-carried buffer so
+    no fold can be dead-code-eliminated) and overwritten by the next chunk —
+    the materialise-then-consume lifecycle of the reference's chunked driver
+    (``benchmarks/benchmark.py:148-152``) without per-chunk host dispatch.
+    On TPU float64 the chunks route through the double-float Pallas kernel
+    with raw hi/lo pair output (``hi + lo`` is the f64 value, 8 B/element).
+
+    Returns a scalar jax array that depends on the final buffer; fetching it
+    to the host is the completion barrier for the whole sweep.
+    """
+    idx = jnp.asarray(idx_batch)
+    mask = None if mask_batch is None else jnp.asarray(mask_batch, config.dtype)
+    n_folds = idx.shape[0]
+    bs = min(batch_size, n_folds)
+    dt = np.dtype(config.dtype)
+    use_pairs = (
+        impl != "xla"
+        and jax.default_backend() == "tpu"
+        and dt.itemsize == 8
+    )
+    kernel_impl = "pallas" if use_pairs else impl
+
+    n_chunks = n_folds // bs
+    runner = _materialize_sweep_jit if jit else _materialize_sweep_impl
+    probe = runner(
+        config, bs, n_chunks, return_XTX, return_XTY, kernel_impl,
+        use_pairs, state, idx, mask,
+    )
+    rem = n_folds - n_chunks * bs
+    if rem:  # remainder folds: one extra fixed-shape program
+        probe = probe + materialize_sweep(
+            config, state, idx[-rem:],
+            None if mask is None else mask[-rem:],
+            batch_size=rem, impl=impl,
+            return_XTX=return_XTX, return_XTY=return_XTY, jit=jit,
+        )
+    return probe
+
+
+def _materialize_sweep_impl(
+    config, bs, n_chunks, return_XTX, return_XTY, impl, use_pairs,
+    state, idx, mask,
+):
+    from ..core.batch import training_matrices_batched
+
+    def chunk_mats(st, ci, cm):
+        out, _ = training_matrices_batched(
+            config, st, ci, cm,
+            return_XTX=return_XTX, return_XTY=return_XTY,
+            impl=impl,
+            pair_output=use_pairs,
+            trim_output=not use_pairs,
+        )
+        return out
+
+    sds = jax.eval_shape(
+        chunk_mats, state,
+        jax.ShapeDtypeStruct((bs,) + idx.shape[1:], idx.dtype),
+        None if mask is None
+        else jax.ShapeDtypeStruct((bs,) + mask.shape[1:], mask.dtype),
+    )
+
+    def body(c, carry):
+        ci = jax.lax.dynamic_slice_in_dim(idx, c * bs, bs, 0)
+        cm = (
+            None if mask is None
+            else jax.lax.dynamic_slice_in_dim(mask, c * bs, bs, 0)
+        )
+        return chunk_mats(state, ci, cm)
+
+    bufs = jax.lax.fori_loop(
+        0, n_chunks, body,
+        jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), sds),
+    )
+    return sum(leaf.reshape(-1)[0] for leaf in jax.tree.leaves(bufs))
+
+
+# Module-level jit so repeat sweeps hit the compilation cache (a fresh jit
+# wrapper per call would recompile the whole fori_loop program every time).
+_materialize_sweep_jit = jax.jit(
+    _materialize_sweep_impl, static_argnums=(0, 1, 2, 3, 4, 5, 6)
+)
 
 
 def cross_validate_dict(

@@ -9,6 +9,7 @@ from cvmatrix_tpu.models.sweep import (
     cross_validate,
     cross_validate_dict,
     cross_validate_reduce,
+    materialize_sweep,
 )
 
 from .data import make_dataset
@@ -92,6 +93,22 @@ def test_reduce_sweep_unequal_folds_masked():
         (rx, ry), _ = ref.training_XTX_XTY(p.get_validation_indices(k))
         assert_allclose(np.asarray(out[0][i]), np.asarray(rx), atol=1e-10)
         assert_allclose(np.asarray(out[1][i]), np.asarray(ry), atol=1e-10)
+
+
+def test_materialize_sweep_probe():
+    """Benchmark primitive: covers all folds incl. a remainder chunk."""
+    cfg = CVConfig(True, True, True, True, 1)
+    st = fit(cfg, X_ALL[:, :5], Y_ALL, WEIGHTS)
+    ref = CVMatrix().fit(X_ALL[:, :5], Y_ALL, WEIGHTS)
+    idx = np.arange(37)[:, None]  # LOOCV over 37 rows, batch 10 -> rem 7
+    probe = float(materialize_sweep(cfg, st, idx, batch_size=10))
+    assert np.isfinite(probe)
+    # The probe is the sum over {last full chunk, remainder chunk} of each
+    # buffer's first element (fold 30's and fold 37-7=30... fold 20 and 30).
+    (x20, y20), _ = ref.training_XTX_XTY(idx[20])
+    (x30, y30), _ = ref.training_XTX_XTY(idx[30])
+    expect = float(x20[0, 0] + y20[0, 0] + x30[0, 0] + y30[0, 0])
+    assert_allclose(probe, expect, rtol=1e-12)
 
 
 def test_sweep_xtx_only():
