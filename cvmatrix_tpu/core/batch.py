@@ -152,15 +152,14 @@ def training_matrices_batched(
         vx = blocks.Xv_u if r1 is None else blocks.Xv_u * r1
         v_parts.append(vx)
         i2_parts.append(
-            jnp.ones((f_folds, 1, k), jnp.float64) if r1 is None
-            else r1.astype(jnp.float64)
+            jnp.ones((f_folds, 1, k), config.dtype) if r1 is None else r1
         )
     if return_XTY:
         vy = blocks.Yv_u if r2y is None else blocks.Yv_u * r2y
         v_parts.append(vy)
         i2_parts.append(
-            jnp.ones((f_folds, 1, state.M), jnp.float64) if r2y is None
-            else r2y.astype(jnp.float64)
+            jnp.ones((f_folds, 1, state.M), config.dtype) if r2y is None
+            else r2y
         )
     v_rows = jnp.concatenate(v_parts, axis=2) if len(v_parts) > 1 else v_parts[0]
 
@@ -180,14 +179,14 @@ def training_matrices_batched(
             if center_xtx:
                 qx = mX if r1 is None else mX * r1[:, 0, :]
             else:
-                qx = jnp.zeros((f_folds, k), jnp.float64)
+                qx = jnp.zeros((f_folds, k), config.dtype)
             q_parts.append(qx)
         if return_XTY:
             if center_xty:
                 mY = Y_mean[:, 0, :]
                 qy = mY if r2y is None else mY * r2y[:, 0, :]
             else:
-                qy = jnp.zeros((f_folds, state.M), jnp.float64)
+                qy = jnp.zeros((f_folds, state.M), config.dtype)
             q_parts.append(qy)
         q_vec = jnp.concatenate(q_parts, axis=1) if len(q_parts) > 1 else q_parts[0]
 

@@ -69,9 +69,9 @@ def _kernel(total_ref, xv_ref, m2_ref, a1_ref, mb_ref, i1_ref, i2_ref,
     def _():
         t = total_ref[:] - acc_ref[:]
         if center:
-            t = t - a1_ref[0][:, None] * mb_ref[0][None, :]
+            t = t - a1_ref[0, 0][:, None] * mb_ref[0, 0][None, :]
         if scale:
-            t = t * (i1_ref[0][:, None] * i2_ref[0][None, :])
+            t = t * (i1_ref[0, 0][:, None] * i2_ref[0, 0][None, :])
         out_ref[0] = t
 
 
@@ -121,21 +121,21 @@ def fused_downdate(
     xv_p = pad(xv, (f_folds, lp, kp))
     m2_p = pad(m2, (f_folds, lp, cp))
     if center:
-        a1_p = pad(a1, (f_folds, kp))
-        mb_p = pad(mb, (f_folds, cp))
+        a1_p = pad(a1[:, None, :], (f_folds, 1, kp))
+        mb_p = pad(mb[:, None, :], (f_folds, 1, cp))
     else:
-        a1_p = jnp.zeros((f_folds, kp), jnp.float32)
-        mb_p = jnp.zeros((f_folds, cp), jnp.float32)
+        a1_p = jnp.zeros((f_folds, 1, kp), jnp.float32)
+        mb_p = jnp.zeros((f_folds, 1, cp), jnp.float32)
     if scale:
-        i1_p = jnp.ones((f_folds, kp), jnp.float32).at[:, :k].set(
-            inv1.astype(jnp.float32)
+        i1_p = jnp.ones((f_folds, 1, kp), jnp.float32).at[:, :, :k].set(
+            inv1.astype(jnp.float32)[:, None, :]
         )
-        i2_p = jnp.ones((f_folds, cp), jnp.float32).at[:, :c].set(
-            inv2.astype(jnp.float32)
+        i2_p = jnp.ones((f_folds, 1, cp), jnp.float32).at[:, :, :c].set(
+            inv2.astype(jnp.float32)[:, None, :]
         )
     else:
-        i1_p = jnp.ones((f_folds, kp), jnp.float32)
-        i2_p = jnp.ones((f_folds, cp), jnp.float32)
+        i1_p = jnp.ones((f_folds, 1, kp), jnp.float32)
+        i2_p = jnp.ones((f_folds, 1, cp), jnp.float32)
 
     n_l = lp // bl
     grid = (f_folds, kp // bk, cp // bc, n_l)
@@ -152,13 +152,15 @@ def fused_downdate(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bl, bc), lambda f, i, j, l: (f, l, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk), lambda f, i, j, l: (f, i),
+            # f*0 (not a literal 0): Python ints trace as i64 under x64,
+            # which Mosaic cannot legalize.
+            pl.BlockSpec((1, 1, bk), lambda f, i, j, l: (f, f * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bc), lambda f, i, j, l: (f, j),
+            pl.BlockSpec((1, 1, bc), lambda f, i, j, l: (f, f * 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk), lambda f, i, j, l: (f, i),
+            pl.BlockSpec((1, 1, bk), lambda f, i, j, l: (f, f * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bc), lambda f, i, j, l: (f, j),
+            pl.BlockSpec((1, 1, bc), lambda f, i, j, l: (f, f * 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bk, bc), lambda f, i, j, l: (f, i, j),

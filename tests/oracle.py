@@ -33,6 +33,7 @@ class NaiveOracle:
         scale_Y: bool = True,
         ddof: int = 1,
         dtype=np.float64,
+        fast_weight_computation: bool = True,
     ) -> None:
         self.center_X = center_X
         self.center_Y = center_Y
@@ -41,6 +42,11 @@ class NaiveOracle:
         self.ddof = ddof
         self.dtype = np.dtype(dtype).type
         self.resolution = np.finfo(dtype).resolution * 10
+        # False: apply weights via an explicit diag(w) matmul instead of a
+        # Hadamard product — the reference oracle's alternative path
+        # (``tests/naive_cvmatrix.py:144-145, 255-262``), used to assert the
+        # two weightings are the same linear operator.
+        self.fast_weight_computation = fast_weight_computation
         self.X = self.Y = self.w = None
 
     def fit(self, X, Y=None, weights=None) -> "NaiveOracle":
@@ -139,7 +145,12 @@ class NaiveOracle:
                 )
                 Yp = Yp / Y_std
 
-        XtW = Xp.T if w is None else Xp.T * w.T
+        if w is None:
+            XtW = Xp.T
+        elif self.fast_weight_computation:
+            XtW = Xp.T * w.T
+        else:
+            XtW = Xp.T @ np.diag(w.reshape(-1))
         stats = (
             X_mean if (self.center_X or self.scale_X) else None,
             X_std if self.scale_X else None,

@@ -171,6 +171,26 @@ def test_refit_overwrites_state():
     check_fold_equivalence(fast, naive2, p)
 
 
+def test_hadamard_equals_diag_weight_matmul():
+    """Hadamard weighting == diag(w) matmul in the oracle (ref :685-744),
+    and the fast engine agrees with both."""
+    X, Y = X_ALL[:100, :5], Y_ALL[:100]
+    w = WEIGHTS[:100]
+    p = Partitioner(FOLDS[:100])
+    fast = CVMatrix().fit(X, Y, w)
+    had = NaiveOracle(fast_weight_computation=True).fit(X, Y, w)
+    diag = NaiveOracle(fast_weight_computation=False).fit(X, Y, w)
+    for fold in p.folds_dict:
+        ti = train_indices(p.folds_dict, fold)
+        (hx, hy), _ = had.training_XTX_XTY(ti)
+        (dx, dy), _ = diag.training_XTX_XTY(ti)
+        assert_allclose(hx, dx, atol=ATOL)
+        assert_allclose(hy, dy, atol=ATOL)
+        (fx, fy), _ = fast.training_XTX_XTY(p.get_validation_indices(fold))
+        assert_allclose(np.asarray(fx), dx, atol=ATOL)
+        assert_allclose(np.asarray(fy), dy, atol=ATOL)
+
+
 def test_exact_matmul_mode_matches_native_on_cpu():
     """matmul_mode='exact' (the TPU f64 path) agrees with native f64."""
     X, Y = X_ALL[:, :5], Y_ALL
