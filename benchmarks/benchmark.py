@@ -173,14 +173,19 @@ def main():
     if dtype.itemsize >= 8:
         jax.config.update("jax_enable_x64", True)
 
-    if os.environ.get("BENCH_CONFIGS", "plot") == "plot":
+    cfg_env = os.environ.get("BENCH_CONFIGS", "plot")
+    if cfg_env == "plot":
         configs = [
             (False, False, False, False),
             (True, True, False, False),
             (True, True, True, True),
         ]
-    else:
+    elif cfg_env == "all":
         configs = list(product([True, False], repeat=4))
+    else:
+        # Explicit flag strings, e.g. "TTTT,FFTF" (center_X center_Y
+        # scale_X scale_Y).
+        configs = [tuple(ch == "T" for ch in s) for s in cfg_env.split(",")]
 
     # v5e HBM roofline ~819 GB/s; override per chip via BENCH_HBM_GBPS.
     hbm_roof = float(os.environ.get("BENCH_HBM_GBPS", 819.0))
