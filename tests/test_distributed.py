@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 from numpy.testing import assert_allclose
 
-from cvmatrix_tpu import CVConfig, CVMatrix, Partitioner
+from cvmatrix_tpu import CVConfig, CVMatrix, Partitioner, fit
 from cvmatrix_tpu.parallel.distributed import (
     fit_sharded,
     make_mesh,
@@ -95,3 +95,23 @@ def test_sharded_y_none_error(mesh):
 def test_sharded_negative_weights(mesh):
     with pytest.raises(ValueError, match="non-negative"):
         fit_sharded(CVConfig(), mesh, X_ALL, Y_ALL, -WEIGHTS)
+
+
+def test_multihost_single_process_degenerates(mesh):
+    """multihost helpers: single-process path == plain sharded fit."""
+    from cvmatrix_tpu.parallel import multihost
+
+    multihost.initialize()  # no coordinator: must no-op, not raise
+    gm = multihost.global_mesh()
+    assert gm.devices.size == len(jax.devices())
+
+    n = 83
+    start, stop = multihost.host_row_slice(n, gm)
+    assert start == 0 and stop == n  # one process owns every row
+
+    cfg = CVConfig(True, True, True, True, ddof=1)
+    X, Y, w = X_ALL[:n, :5], Y_ALL[:n], WEIGHTS[:n]
+    st_mh = multihost.fit_sharded_multihost(cfg, gm, X, Y, w)
+    st = fit(cfg, X, Y, w)
+    assert_allclose(np.asarray(st_mh.XTX), np.asarray(st.XTX), atol=1e-10)
+    assert_allclose(np.asarray(st_mh.XTY), np.asarray(st.XTY), atol=1e-10)
