@@ -6,13 +6,18 @@ run as vmapped XLA, while the O(F*K*C) epilogue (downdate + rank-one center +
 outer-product scale, reference ``:943-1010``) runs in ONE fused HBM pass
 through a Pallas kernel:
 
-- float64 engine: :func:`~cvmatrix_tpu.ops.kernels.fused_downdate_df64` —
-  double-float (f32 pair) arithmetic, ~2^-46-relative agreement with the f64
-  reference (the 1e-8 contract with orders of magnitude of margin). XLA's
-  own f64 emulation computes the same chain op-by-op at several times the
-  flop count.
+- float64 engine: the double-float (f32 hi/lo pair) kernel
+  (:func:`~cvmatrix_tpu.ops.kernels.fused_downdate_df64_packed`) —
+  ~2^-46-relative agreement with the f64 reference (the 1e-8 contract with
+  orders of magnitude of margin). XLA's own f64 emulation computes the same
+  chain op-by-op at several times the flop count.
 - float32 engine: :func:`~cvmatrix_tpu.ops.kernels.fused_downdate` — MXU
   downdate + f32 epilogue.
+
+Operand preparation is split out (:func:`prepare_fold_operands`) so sweep
+drivers can run it ONCE for all folds and slice per chunk — at LOOCV scale
+the per-chunk launch overhead of the ~30 small layout ops otherwise rivals
+the kernel itself.
 
 ``impl="xla"`` (or any non-TPU backend / exotic config) falls back to the
 reference-shaped vmapped engine in :mod:`cvmatrix_tpu.core.fold` — identical
@@ -21,7 +26,7 @@ semantics, different schedule.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +38,11 @@ from ..ops.df64 import df_from_f64, df_to_f64, split
 from .fold import gather_val_blocks, _compute_training_stats, training_matrices
 from .state import FitState
 
-__all__ = ["training_matrices_batched"]
+__all__ = [
+    "FoldOperands",
+    "prepare_fold_operands",
+    "training_matrices_batched",
+]
 
 
 def _stat_flags(config: CVConfig, return_XTX: bool, return_XTY: bool):
@@ -46,21 +55,221 @@ def _stat_flags(config: CVConfig, return_XTX: bool, return_XTY: bool):
     )
 
 
-def _as_pair(x):
-    """f64 (or f32) array -> (2, ...) stacked f32 pair."""
-    if x.dtype == jnp.float64:
-        hi, lo = df_from_f64(x)
-    else:
-        hi = x.astype(jnp.float32)
-        lo = jnp.zeros_like(hi)
-    return jnp.stack([hi, lo])
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
-def _total4(total):
-    """(K, C) f64 -> (4, K, C): hi, lo, split(hi) halves."""
-    hi, lo = df_from_f64(total.astype(jnp.float64))
-    hh, hl = split(hi)
-    return jnp.stack([hi, lo, hh, hl])
+def _gather_and_stats(config, state, idx, mask, return_XTX, return_XTY):
+    flags = _stat_flags(config, return_XTX, return_XTY)
+
+    def one(v, mk):
+        blocks = gather_val_blocks(config, state, v, mk, return_XTY)
+        stats5 = _compute_training_stats(
+            config, state, blocks, check=False, **flags
+        )
+        return blocks, stats5
+
+    return jax.vmap(one, in_axes=(0, None if mask is None else 0))(idx, mask)
+
+
+class FoldOperands(NamedTuple):
+    """Padded, packed, pair-converted kernel operands for a fold batch.
+
+    ``total4``: (4, Kp, Cp) f32 — total hi, lo, and the hi part's Dekker
+    split. ``u``/``v``: (F, L, 2, Kp/Cp) factor-scaled row pairs.
+    ``kvec``/``cvec``: (F, 2, 2, Kp/Cp) — [center vector, reciprocal std]
+    pairs per side. ``center``/``scale`` are the kernel's static flags;
+    ``k``/``c`` the unpadded output dims.
+    """
+
+    total4: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+    kvec: jnp.ndarray
+    cvec: jnp.ndarray
+    center: bool
+    scale: bool
+    k: int
+    c: int
+
+
+def _pair_into(buf, x, row):
+    """Write f64 ``x``'s (hi, lo) pair into ``buf[:, row, 0/1, :width]``."""
+    hi, lo = df_from_f64(x)
+    return buf.at[:, row, 0, : x.shape[-1]].set(hi).at[
+        :, row, 1, : x.shape[-1]
+    ].set(lo)
+
+
+def prepare_fold_operands(
+    config: CVConfig,
+    state: FitState,
+    idx_batch,
+    mask_batch=None,
+    *,
+    return_XTX: bool = True,
+    return_XTY: bool = True,
+    block_k: int = 512,
+    block_c: int = 512,
+    with_stats: bool = True,
+):
+    """Kernel operands (and optionally stats) for a batch of folds.
+
+    Everything data-layout related happens here, once: gathers, downdated
+    statistics, reciprocal stds, factor scaling, f64 -> f32 pair conversion,
+    padding to tile multiples, and packing the per-fold vectors into single
+    streams. The result feeds
+    :func:`~cvmatrix_tpu.ops.kernels.fused_downdate_df64_packed` directly —
+    sweep drivers call this for ALL folds and slice the fold axis per chunk.
+
+    The math is the factor-scaled form of the reference epilogue
+    (``cvmatrix/cvmatrix.py:1001-1009``): with r = 1/std,
+
+        out = total (.) (r1 (x) r2) - sum_l (xv_l*r1) (x) (m2_l*r2)
+            - (sum_w_train*mean1*r1) (x) (mean2*r2)
+
+    with the center term zeroed per side via the q vector (XTX centers iff
+    center_X; XTY iff center_X or center_Y — reference ``:863,:893``).
+    """
+    idx = jnp.asarray(idx_batch)
+    mask = None if mask_batch is None else jnp.asarray(mask_batch, config.dtype)
+    blocks, stats5 = _gather_and_stats(
+        config, state, idx, mask, return_XTX, return_XTY
+    )
+    X_mean, X_std, Y_mean, Y_std, sum_w_train = stats5
+    stats = (X_mean, X_std, Y_mean, Y_std)
+
+    f_folds, n_l = idx.shape
+    k = state.K
+    m = state.M if return_XTY else 0
+    c = (k if return_XTX else 0) + m
+    kp = _round_up(max(k, 8), 128)
+    cp = _round_up(max(c, 8), 128)
+    kp = _round_up(kp, min(block_k, kp))
+    cp = _round_up(cp, min(block_c, cp))
+
+    f64 = jnp.float64
+
+    r1 = (1.0 / X_std).astype(f64) if config.scale_X else None  # (F, 1, K)
+    r2y = (
+        (1.0 / Y_std).astype(f64)
+        if (return_XTY and config.scale_Y) else None
+    )
+
+    center_xtx = config.center_X
+    center_xty = config.center_X or config.center_Y
+    center = (return_XTX and center_xtx) or (return_XTY and center_xty)
+    scale = config.scale_X or (return_XTY and config.scale_Y)
+
+    # ---- row streams (factor-scaled) --------------------------------------
+    u64 = blocks.Xv_w.astype(f64)
+    if r1 is not None:
+        u64 = u64 * r1
+    u = jnp.zeros((f_folds, n_l, 2, kp), jnp.float32)
+    uh, ul = df_from_f64(u64)
+    u = u.at[:, :, 0, :k].set(uh).at[:, :, 1, :k].set(ul)
+
+    v = jnp.zeros((f_folds, n_l, 2, cp), jnp.float32)
+    off = 0
+    if return_XTX:
+        vx = blocks.Xv_u.astype(f64)
+        if r1 is not None:
+            vx = vx * r1
+        vh, vl = df_from_f64(vx)
+        v = v.at[:, :, 0, :k].set(vh).at[:, :, 1, :k].set(vl)
+        off = k
+    if return_XTY:
+        vy = blocks.Yv_u.astype(f64)
+        if r2y is not None:
+            vy = vy * r2y
+        vh, vl = df_from_f64(vy)
+        v = v.at[:, :, 0, off:off + m].set(vh).at[:, :, 1, off:off + m].set(vl)
+
+    # ---- per-fold K/C vectors: [center p|q, reciprocal std i1|i2] ---------
+    kvec = jnp.zeros((f_folds, 2, 2, kp), jnp.float32)
+    cvec = jnp.zeros((f_folds, 2, 2, cp), jnp.float32)
+    # reciprocal-std rows default to exact 1.0 (padding included: padded
+    # output columns then read total=0 * 1 - 0 = 0).
+    kvec = kvec.at[:, 1, 0, :].set(1.0)
+    cvec = cvec.at[:, 1, 0, :].set(1.0)
+    if scale:
+        if r1 is not None:
+            kvec = _pair_into(kvec, r1[:, 0, :], 1)
+        i2_parts = []
+        if return_XTX:
+            i2_parts.append(
+                r1[:, 0, :] if r1 is not None
+                else jnp.ones((f_folds, k), f64)
+            )
+        if return_XTY:
+            i2_parts.append(
+                r2y[:, 0, :] if r2y is not None
+                else jnp.ones((f_folds, m), f64)
+            )
+        i2 = (
+            jnp.concatenate(i2_parts, axis=1)
+            if len(i2_parts) > 1 else i2_parts[0]
+        )
+        cvec = _pair_into(cvec, i2, 1)
+    if center:
+        mX = X_mean[:, 0, :].astype(f64)
+        p_vec = sum_w_train.astype(f64)[:, None] * mX
+        if r1 is not None:
+            p_vec = p_vec * r1[:, 0, :]
+        kvec = _pair_into(kvec, p_vec, 0)
+        q_parts = []
+        if return_XTX:
+            q_parts.append(
+                (mX * r1[:, 0, :] if r1 is not None else mX)
+                if center_xtx else jnp.zeros((f_folds, k), f64)
+            )
+        if return_XTY:
+            if center_xty:
+                mY = Y_mean[:, 0, :].astype(f64)
+                q_parts.append(mY * r2y[:, 0, :] if r2y is not None else mY)
+            else:
+                q_parts.append(jnp.zeros((f_folds, m), f64))
+        q_vec = (
+            jnp.concatenate(q_parts, axis=1)
+            if len(q_parts) > 1 else q_parts[0]
+        )
+        cvec = _pair_into(cvec, q_vec, 0)
+
+    # ---- total (4, Kp, Cp): hi, lo, split(hi) ------------------------------
+    total_parts = []
+    if return_XTX:
+        total_parts.append(state.XTX)
+    if return_XTY:
+        total_parts.append(state.XTY)
+    total = (
+        jnp.concatenate(total_parts, axis=1)
+        if len(total_parts) > 1 else total_parts[0]
+    ).astype(f64)
+    th, tl = df_from_f64(total)
+    thh, thl = split(th)
+    total4 = jnp.zeros((4, kp, cp), jnp.float32)
+    total4 = total4.at[:, :k, :c].set(jnp.stack([th, tl, thh, thl]))
+
+    ops = FoldOperands(total4, u, v, kvec, cvec, center, scale, k, c)
+    return (ops, stats) if with_stats else (ops, None)
+
+
+def downdate_from_operands(ops: FoldOperands, *, block_k=512, block_c=512):
+    """Run the packed df64 kernel; returns raw (F, 2, Kp, Cp) pairs."""
+    return kernels.fused_downdate_df64_packed(
+        ops.total4, ops.u, ops.v, ops.kvec, ops.cvec,
+        center=ops.center, scale=ops.scale,
+        block_k=block_k, block_c=block_c,
+    )
+
+
+def slice_operands(ops: FoldOperands, start, size: int) -> FoldOperands:
+    """Fold-axis slice (dynamic start, static size) of prepared operands."""
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, start, size, 0)
+
+    return ops._replace(u=sl(ops.u), v=sl(ops.v), kvec=sl(ops.kvec),
+                        cvec=sl(ops.cvec))
 
 
 def training_matrices_batched(
@@ -81,8 +290,9 @@ def training_matrices_batched(
     a leading fold axis plus the stats 4-tuple. With ``pair_output=True``
     (f64 Pallas path only) matrices are returned as (F, 2, K, C) f32 hi/lo
     pairs — ``hi + lo`` is the f64 value — skipping the final pair->f64
-    combine pass; downstream df64-aware consumers (and the throughput
-    benchmark) use this to stay at one HBM pass per element.
+    combine pass; with ``trim_output=False`` additionally the raw padded
+    (F, 2, Kp, Cp) buffer comes back unsplit (columns [:K] are XTX) so
+    padding-aware consumers skip the trim copy entirely.
     """
     if not return_XTX and not return_XTY:
         raise ValueError(
@@ -97,10 +307,7 @@ def training_matrices_batched(
 
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu and dt.itemsize in (4, 8):
-            impl = "pallas"
-        else:
-            impl = "xla"
+        impl = "pallas" if (on_tpu and dt.itemsize in (4, 8)) else "xla"
 
     if impl == "xla":
         fold_fn = lambda v, mk: training_matrices(  # noqa: E731
@@ -115,172 +322,99 @@ def training_matrices_batched(
     if impl != "pallas":
         raise ValueError(f"Unknown impl: {impl!r} (auto|pallas|xla).")
 
-    flags = _stat_flags(config, return_XTX, return_XTY)
-
-    def gather_and_stats(v, mk):
-        blocks = gather_val_blocks(config, state, v, mk, return_XTY)
-        stats5 = _compute_training_stats(
-            config, state, blocks, check=False, **flags
+    if dt.itemsize == 4:
+        return _f32_kernel_path(
+            config, state, idx, mask,
+            return_XTX=return_XTX, return_XTY=return_XTY,
         )
-        return blocks, stats5
 
-    blocks, stats5 = jax.vmap(
-        gather_and_stats, in_axes=(0, None if mask is None else 0)
-    )(idx, mask)
+    ops, stats = prepare_fold_operands(
+        config, state, idx, mask,
+        return_XTX=return_XTX, return_XTY=return_XTY,
+    )
+    pair_out = downdate_from_operands(ops)
+    k, c = ops.k, ops.c
+    if pair_output:
+        if not trim_output:
+            return pair_out, stats
+        out = pair_out[:, :, :k, :c]
+    else:
+        out = df_to_f64(pair_out[:, 0, :k, :c], pair_out[:, 1, :k, :c])
+    if return_XTX and return_XTY:
+        if pair_output:
+            mats = (out[:, :, :, :k], out[:, :, :, k:])
+        else:
+            mats = (out[:, :, :k], out[:, :, k:])
+        return mats, stats
+    return out, stats
+
+
+def _f32_kernel_path(config, state, idx, mask, *, return_XTX, return_XTY):
+    """f32 engine: MXU downdate kernel (reference operand form)."""
+    blocks, stats5 = _gather_and_stats(
+        config, state, idx, mask, return_XTX, return_XTY
+    )
     X_mean, X_std, Y_mean, Y_std, sum_w_train = stats5
     stats = (X_mean, X_std, Y_mean, Y_std)
-
-    # ---- factor-scaled kernel operands (all f64 -> f32 pairs) -------------
-    # out = total (.) (r1 (x) r2) - sum_l (xv*r1) (x) (m2*r2) - p (x) q
-    # with r = reciprocal stds (ones where that side is unscaled) and the
-    # center term zeroed per side via q (XTX centers iff center_X; XTY iff
-    # center_X or center_Y — reference :863,:893).
-    f_folds, n_l = idx.shape
+    f_folds = idx.shape[0]
     k = state.K
-
-    r1 = None
-    if config.scale_X:
-        r1 = 1.0 / X_std  # (F, 1, K)
-    r2y = None
-    if return_XTY and config.scale_Y:
-        r2y = 1.0 / Y_std  # (F, 1, M)
-
-    u = blocks.Xv_w if r1 is None else blocks.Xv_w * r1
-    v_parts = []
-    i2_parts = []
-    if return_XTX:
-        vx = blocks.Xv_u if r1 is None else blocks.Xv_u * r1
-        v_parts.append(vx)
-        i2_parts.append(
-            jnp.ones((f_folds, 1, k), config.dtype) if r1 is None else r1
-        )
-    if return_XTY:
-        vy = blocks.Yv_u if r2y is None else blocks.Yv_u * r2y
-        v_parts.append(vy)
-        i2_parts.append(
-            jnp.ones((f_folds, 1, state.M), config.dtype) if r2y is None
-            else r2y
-        )
-    v_rows = jnp.concatenate(v_parts, axis=2) if len(v_parts) > 1 else v_parts[0]
 
     center_xtx = config.center_X
     center_xty = config.center_X or config.center_Y
     center = (return_XTX and center_xtx) or (return_XTY and center_xty)
     scale = config.scale_X or (return_XTY and config.scale_Y)
 
-    p_vec = q_vec = None
-    if center:
-        mX = X_mean[:, 0, :]  # (F, K)
-        p_vec = sum_w_train[:, None] * mX
-        if r1 is not None:
-            p_vec = p_vec * r1[:, 0, :]
-        q_parts = []
-        if return_XTX:
-            if center_xtx:
-                qx = mX if r1 is None else mX * r1[:, 0, :]
-            else:
-                qx = jnp.zeros((f_folds, k), config.dtype)
-            q_parts.append(qx)
-        if return_XTY:
-            if center_xty:
-                mY = Y_mean[:, 0, :]
-                qy = mY if r2y is None else mY * r2y[:, 0, :]
-            else:
-                qy = jnp.zeros((f_folds, state.M), config.dtype)
-            q_parts.append(qy)
-        q_vec = jnp.concatenate(q_parts, axis=1) if len(q_parts) > 1 else q_parts[0]
-
+    m2 = []
     total_parts = []
     if return_XTX:
+        m2.append(blocks.Xv_u)
         total_parts.append(state.XTX)
     if return_XTY:
+        m2.append(blocks.Yv_u)
         total_parts.append(state.XTY)
+    m2 = jnp.concatenate(m2, axis=2) if len(m2) > 1 else m2[0]
     total = (
         jnp.concatenate(total_parts, axis=1)
         if len(total_parts) > 1 else total_parts[0]
     )
 
-    if dt.itemsize == 4:
-        # f32 engine: MXU downdate kernel (reference operand form).
-        m2 = []
+    a1 = mb = None
+    if center:
+        a1 = sum_w_train[:, None] * X_mean[:, 0, :]
+        mb_parts = []
         if return_XTX:
-            m2.append(blocks.Xv_u)
+            mb_parts.append(
+                X_mean[:, 0, :] if center_xtx
+                else jnp.zeros((f_folds, k), config.dtype)
+            )
         if return_XTY:
-            m2.append(blocks.Yv_u)
-        m2 = jnp.concatenate(m2, axis=2) if len(m2) > 1 else m2[0]
-        a1 = mb = None
-        if center:
-            a1 = sum_w_train[:, None] * X_mean[:, 0, :]
-            mb_parts = []
-            if return_XTX:
-                mb_parts.append(
-                    X_mean[:, 0, :] if center_xtx
-                    else jnp.zeros((f_folds, k), config.dtype)
-                )
-            if return_XTY:
-                mb_parts.append(
-                    Y_mean[:, 0, :] if center_xty
-                    else jnp.zeros((f_folds, state.M), config.dtype)
-                )
-            mb = (
-                jnp.concatenate(mb_parts, axis=1)
-                if len(mb_parts) > 1 else mb_parts[0]
+            mb_parts.append(
+                Y_mean[:, 0, :] if center_xty
+                else jnp.zeros((f_folds, state.M), config.dtype)
             )
-        inv1 = inv2 = None
-        if scale:
-            inv1 = (
-                1.0 / X_std[:, 0, :] if config.scale_X
-                else jnp.ones((f_folds, k), config.dtype)
+        mb = (
+            jnp.concatenate(mb_parts, axis=1)
+            if len(mb_parts) > 1 else mb_parts[0]
+        )
+    inv1 = inv2 = None
+    if scale:
+        inv1 = (
+            1.0 / X_std[:, 0, :] if config.scale_X
+            else jnp.ones((f_folds, k), config.dtype)
+        )
+        i2p = []
+        if return_XTX:
+            i2p.append(inv1)
+        if return_XTY:
+            i2p.append(
+                1.0 / Y_std[:, 0, :] if config.scale_Y
+                else jnp.ones((f_folds, state.M), config.dtype)
             )
-            i2p = []
-            if return_XTX:
-                i2p.append(inv1)
-            if return_XTY:
-                i2p.append(
-                    1.0 / Y_std[:, 0, :]
-                    if config.scale_Y
-                    else jnp.ones((f_folds, state.M), config.dtype)
-                )
-            inv2 = jnp.concatenate(i2p, axis=1) if len(i2p) > 1 else i2p[0]
-        out = kernels.fused_downdate(
-            total, blocks.Xv_w, m2, a1, mb, inv1, inv2,
-            center=center, scale=scale,
-        )
-        out = out.astype(config.dtype)
-    else:
-        i1 = (
-            r1[:, 0, :].astype(jnp.float64) if r1 is not None
-            else jnp.ones((f_folds, k), jnp.float64)
-        )
-        i2 = jnp.concatenate(
-            [pp[:, 0, :] for pp in i2_parts], axis=1
-        ) if len(i2_parts) > 1 else i2_parts[0][:, 0, :]
-        pair_out = kernels.fused_downdate_df64(
-            _total4(total),
-            _as_pair(u.astype(jnp.float64)),
-            _as_pair(v_rows.astype(jnp.float64)),
-            None if p_vec is None else _as_pair(p_vec.astype(jnp.float64)),
-            None if q_vec is None else _as_pair(q_vec.astype(jnp.float64)),
-            _as_pair(i1) if scale else None,
-            _as_pair(i2) if scale else None,
-            center=center,
-            scale=scale,
-            trim_output=trim_output or not pair_output,
-        )
-        if pair_output:
-            if not trim_output:
-                # Raw padded (F, 2, Kp, Cp) pairs, XTX|XTY unsplit: zero
-                # post-kernel copies. The throughput path for padding-aware
-                # consumers; columns [:K] are XTX, [K:K+C] are XTY.
-                return pair_out, stats
-            out = pair_out
-        else:
-            out = df_to_f64(pair_out[:, 0], pair_out[:, 1])
-
+        inv2 = jnp.concatenate(i2p, axis=1) if len(i2p) > 1 else i2p[0]
+    out = kernels.fused_downdate(
+        total, blocks.Xv_w, m2, a1, mb, inv1, inv2,
+        center=center, scale=scale,
+    ).astype(config.dtype)
     if return_XTX and return_XTY:
-        if pair_output and dt.itemsize == 8:
-            mats = (out[:, :, :, :k], out[:, :, :, k:])
-        else:
-            mats = (out[:, :, :k], out[:, :, k:])
-        return mats, stats
+        return (out[:, :, :k], out[:, :, k:]), stats
     return out, stats

@@ -247,7 +247,34 @@ def _materialize_sweep_impl(
     config, bs, n_chunks, return_XTX, return_XTY, impl, use_pairs,
     state, idx, mask,
 ):
-    from ..core.batch import training_matrices_batched
+    from ..core.batch import (
+        downdate_from_operands,
+        prepare_fold_operands,
+        slice_operands,
+        training_matrices_batched,
+    )
+
+    if use_pairs:
+        # Hoisted-prep fast path: gathers, stats, scaling, pair conversion
+        # and packing run ONCE for all folds; the loop body is two slices
+        # plus the packed kernel. (Running the ~30 small layout ops per
+        # chunk costs as much launch overhead as the kernel itself.)
+        n = n_chunks * bs
+        ops, _ = prepare_fold_operands(
+            config, state, idx[:n],
+            None if mask is None else mask[:n],
+            return_XTX=return_XTX, return_XTY=return_XTY,
+            with_stats=False,
+        )
+        kp, cp = ops.total4.shape[1], ops.total4.shape[2]
+
+        def body(c, carry):
+            return downdate_from_operands(slice_operands(ops, c * bs, bs))
+
+        buf = jax.lax.fori_loop(
+            0, n_chunks, body, jnp.zeros((bs, 2, kp, cp), jnp.float32)
+        )
+        return buf.reshape(-1)[0]
 
     def chunk_mats(st, ci, cm):
         out, _ = training_matrices_batched(

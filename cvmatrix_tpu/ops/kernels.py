@@ -376,3 +376,144 @@ def fused_downdate_df64(
     if trim_output:
         return out[:, :, :k, :c]
     return out
+
+
+# --------------------------------------------------------------------------- #
+# Packed-operand variant: zero per-call layout work                           #
+# --------------------------------------------------------------------------- #
+
+
+def _df64_kernel_packed(total_ref, u_ref, v_ref, kv_ref, cv_ref,
+                        out_ref, acc_h, acc_l, *, center: bool, scale: bool,
+                        n_l: int):
+    """Same math as :func:`_df64_kernel`, but the per-fold K-side vectors
+    ride in one (1, 2, 2, bk) block [p, i1] and the C-side in (1, 2, 2, bc)
+    [q, i2] — one HBM stream each instead of four."""
+    l = pl.program_id(3)
+
+    u_h = u_ref[0, 0, 0][:, None]
+    u_lo = u_ref[0, 0, 1][:, None]
+    v_h = v_ref[0, 0, 0][None, :]
+    v_lo = v_ref[0, 0, 1][None, :]
+    uhh, uhl = split(u_h)
+    vhh, vhl = split(v_h)
+    ph, pe = df_mul_presplit(u_h, u_lo, uhh, uhl, v_h, v_lo, vhh, vhl)
+
+    @pl.when(l == 0)
+    def _():
+        acc_h[:] = ph
+        acc_l[:] = pe
+
+    @pl.when(l > 0)
+    def _():
+        s, e = two_sum(acc_h[:], ph)
+        acc_h[:] = s
+        acc_l[:] = acc_l[:] + (e + pe)
+
+    @pl.when(l == n_l - 1)
+    def _():
+        d_h, d_l = acc_h[:], acc_l[:]
+        if center:
+            p_h = kv_ref[0, 0, 0][:, None]
+            p_lo = kv_ref[0, 0, 1][:, None]
+            q_h = cv_ref[0, 0, 0][None, :]
+            q_lo = cv_ref[0, 0, 1][None, :]
+            phh, phl = split(p_h)
+            qhh, qhl = split(q_h)
+            ch, ce = df_mul_presplit(p_h, p_lo, phh, phl, q_h, q_lo, qhh, qhl)
+            s, e = two_sum(d_h, ch)
+            d_h = s
+            d_l = d_l + (e + ce)
+
+        t_h = total_ref[0]
+        t_lo = total_ref[1]
+        if scale:
+            thh = total_ref[2]
+            thl = total_ref[3]
+            i1_h = kv_ref[0, 1, 0][:, None]
+            i1_lo = kv_ref[0, 1, 1][:, None]
+            i2_h = cv_ref[0, 1, 0][None, :]
+            i2_lo = cv_ref[0, 1, 1][None, :]
+            i1hh, i1hl = split(i1_h)
+            i2hh, i2hl = split(i2_h)
+            t2h, t2e = two_prod_presplit(t_h, thh, thl, i1_h, i1hh, i1hl)
+            t2l = t2e + (t_h * i1_lo + t_lo * i1_h)
+            t2hh, t2hl = split(t2h)
+            tsh, tse = two_prod_presplit(t2h, t2hh, t2hl, i2_h, i2hh, i2hl)
+            t_h_out = tsh
+            t_l_out = tse + (t2h * i2_lo + t2l * i2_h)
+        else:
+            t_h_out = t_h
+            t_l_out = t_lo
+
+        oh, oe = two_sum(t_h_out, -d_h)
+        oh, ol = quick_two_sum(oh, oe + (t_l_out - d_l))
+        out_ref[0, 0] = oh
+        out_ref[0, 1] = ol
+
+
+@functools.partial(
+    jax.jit, static_argnames=("center", "scale", "block_k", "block_c")
+)
+def fused_downdate_df64_packed(
+    total4: jax.Array,  # (4, Kp, Cp), already padded to tile multiples
+    u: jax.Array,       # (F, L, 2, Kp) pair
+    v: jax.Array,       # (F, L, 2, Cp) pair
+    kvec: jax.Array,    # (F, 2, 2, Kp): [p, i1] pairs
+    cvec: jax.Array,    # (F, 2, 2, Cp): [q, i2] pairs
+    *,
+    center: bool,
+    scale: bool,
+    block_k: int = 512,
+    block_c: int = 512,
+) -> jax.Array:
+    """Pre-padded, pre-packed double-float downdate -> (F, 2, Kp, Cp).
+
+    The zero-copy entry point for sweep drivers: all layout work (padding,
+    pair splitting, packing) happens ONCE per dataset in
+    :func:`cvmatrix_tpu.core.batch.prepare_fold_operands`; per chunk the
+    caller just slices the fold axis. Shapes must already satisfy the tile
+    constraints (Kp, Cp multiples of the block sizes).
+    """
+    f_folds, n_l = u.shape[0], u.shape[1]
+    kp, cp = total4.shape[1], total4.shape[2]
+    bk = min(block_k, kp)
+    bc = min(block_c, cp)
+    if kp % bk or cp % bc:
+        raise ValueError(f"padded dims ({kp},{cp}) not multiples of "
+                         f"({bk},{bc})")
+    grid = (f_folds, kp // bk, cp // bc, n_l)
+    out = pl.pallas_call(
+        functools.partial(_df64_kernel_packed, center=center, scale=scale,
+                          n_l=n_l),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, bk, bc), lambda f, i, j, l: (f * 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, bk), lambda f, i, j, l: (f, l, f * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, bc), lambda f, i, j, l: (f, l, f * 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 2, bk), lambda f, i, j, l: (f, f * 0, f * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 2, bc), lambda f, i, j, l: (f, f * 0, f * 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, bk, bc),
+                               lambda f, i, j, l: (f, f * 0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f_folds, 2, kp, cp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bk, bc), jnp.float32),
+            pltpu.VMEM((bk, bc), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=80 * f_folds * kp * cp * max(n_l, 1),
+            bytes_accessed=(
+                f_folds * kp * cp * 8 + kp * cp * 16
+                + f_folds * n_l * (kp + cp) * 8
+            ),
+            transcendentals=0,
+        ),
+    )(total4, u, v, kvec, cvec)
+    return out
