@@ -104,6 +104,7 @@ def main():
     log(f"folds compile+first run: {time.perf_counter() - t0:.3f}s")
 
     # Measured: total CV = fit + all folds, warm.
+    state = None  # release before refit (two states at K=20k exceed HBM)
     t0 = time.perf_counter()
     state = fit_once()
     t_fit = time.perf_counter() - t0

@@ -93,6 +93,46 @@ class FoldOperands(NamedTuple):
     c: int
 
 
+def _padded_dims(state, return_XTX, return_XTY):
+    """(k, c, kp, cp, blk) for the df64 large-fold kernel geometry."""
+    k = state.K
+    m = state.M if return_XTY else 0
+    c = (k if return_XTX else 0) + m
+    blk = 128 if max(k, c) > 4096 else 512
+    kp = _round_up(max(k, 8), 128)
+    cp = _round_up(max(c, 8), 128)
+    kp = _round_up(kp, min(blk, kp))
+    cp = _round_up(cp, min(blk, cp))
+    return k, c, kp, cp, blk
+
+
+def _total_planes(state, return_XTX, return_XTY, kp, cp, presplit):
+    """(2 or 4, Kp, Cp) total pair planes, built without a K x C concat copy
+    (at K=20k the concatenated f64 total alone is >3 GB of transient HBM)."""
+    n_planes = 4 if presplit else 2
+    planes = jnp.zeros((n_planes, kp, cp), jnp.float32)
+
+    def put(planes, mat, col):
+        mat = mat.astype(jnp.float64)
+        hi, lo = df_from_f64(mat)
+        w = mat.shape[1]
+        planes = planes.at[0, : mat.shape[0], col:col + w].set(hi)
+        planes = planes.at[1, : mat.shape[0], col:col + w].set(lo)
+        if presplit:
+            hh, hl = split(hi)
+            planes = planes.at[2, : mat.shape[0], col:col + w].set(hh)
+            planes = planes.at[3, : mat.shape[0], col:col + w].set(hl)
+        return planes
+
+    col = 0
+    if return_XTX:
+        planes = put(planes, state.XTX, 0)
+        col = state.XTX.shape[1]
+    if return_XTY:
+        planes = put(planes, state.XTY, col)
+    return planes
+
+
 def _pair_into(buf, x, row):
     """Write f64 ``x``'s (hi, lo) pair into ``buf[:, row, 0/1, :width]``."""
     hi, lo = df_from_f64(x)
@@ -235,20 +275,12 @@ def prepare_fold_operands(
         )
         cvec = _pair_into(cvec, q_vec, 0)
 
-    # ---- total (4, Kp, Cp): hi, lo, split(hi) ------------------------------
-    total_parts = []
-    if return_XTX:
-        total_parts.append(state.XTX)
-    if return_XTY:
-        total_parts.append(state.XTY)
-    total = (
-        jnp.concatenate(total_parts, axis=1)
-        if len(total_parts) > 1 else total_parts[0]
-    ).astype(f64)
-    th, tl = df_from_f64(total)
-    thh, thl = split(th)
-    total4 = jnp.zeros((4, kp, cp), jnp.float32)
-    total4 = total4.at[:, :k, :c].set(jnp.stack([th, tl, thh, thl]))
+    # ---- total (4 or 2, Kp, Cp): hi, lo [, split(hi)] ----------------------
+    # Presplitting the total's hi part saves 4 kernel flops/element but
+    # doubles its HBM footprint — at huge K (genomics-wide problems) the
+    # extra planes alone are gigabytes, so split in-kernel instead.
+    presplit = (kp * cp <= 4096 * 4096) and scale
+    total4 = _total_planes(state, return_XTX, return_XTY, kp, cp, presplit)
 
     ops = FoldOperands(total4, u, v, kvec, cvec, center, scale, k, c)
     return (ops, stats) if with_stats else (ops, None)
@@ -283,6 +315,7 @@ def training_matrices_batched(
     impl: str = "auto",
     pair_output: bool = False,
     trim_output: bool = True,
+    _total_planes_override=None,
 ):
     """Training matrices for a (F, L) batch of folds.
 
@@ -308,6 +341,12 @@ def training_matrices_batched(
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
         impl = "pallas" if (on_tpu and dt.itemsize in (4, 8)) else "xla"
+        # f32 with tiny folds: the MXU downdate kernel wastes the systolic
+        # array on rank-<8 products and pays the trim copy; the fused XLA
+        # elementwise path measures faster end-to-end (154k vs 136k folds/s
+        # at LOOCV). f64 always prefers the double-float kernel.
+        if impl == "pallas" and dt.itemsize == 4 and idx.shape[1] < 8:
+            impl = "xla"
 
     if impl == "xla":
         fold_fn = lambda v, mk: training_matrices(  # noqa: E731
@@ -328,12 +367,19 @@ def training_matrices_batched(
             return_XTX=return_XTX, return_XTY=return_XTY,
         )
 
-    ops, stats = prepare_fold_operands(
-        config, state, idx, mask,
-        return_XTX=return_XTX, return_XTY=return_XTY,
-    )
-    pair_out = downdate_from_operands(ops)
-    k, c = ops.k, ops.c
+    if idx.shape[1] >= LARGE_FOLD_ROWS:
+        pair_out, stats, k, c = _large_fold_pallas_path(
+            config, state, idx, mask,
+            return_XTX=return_XTX, return_XTY=return_XTY,
+            total_planes=_total_planes_override,
+        )
+    else:
+        ops, stats = prepare_fold_operands(
+            config, state, idx, mask,
+            return_XTX=return_XTX, return_XTY=return_XTY,
+        )
+        pair_out = downdate_from_operands(ops)
+        k, c = ops.k, ops.c
     if pair_output:
         if not trim_output:
             return pair_out, stats
@@ -347,6 +393,119 @@ def training_matrices_batched(
             mats = (out[:, :, :k], out[:, :, k:])
         return mats, stats
     return out, stats
+
+
+# Folds with at least this many validation rows compute their downdate
+# product on the MXU (exact int8-slice contraction) instead of as an L-step
+# double-float VPU accumulation — the VPU path costs ~21 flops/element/row
+# while the MXU product is near-free by comparison.
+LARGE_FOLD_ROWS = 32
+
+
+def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
+                            return_XTY, total_planes=None):
+    """MXU downdate product + one-pass df64 epilogue (large folds).
+
+    Computes ``prod[f] = Xv_w[f]^T @ [Xv_u | Yv_u][f]`` with the exact
+    contraction (:func:`cvmatrix_tpu.ops.precise.contract`, f64-grade on the
+    int8 MXU), then applies ``(total - prod - sw*m1 (x) m2) (.) (r1 (x) r2)``
+    in the epilogue-only kernel. Matches the reference operand form
+    (``cvmatrix/cvmatrix.py:1001-1009``) with the center term inside the
+    scale — p/q here are UNSCALED, unlike :func:`prepare_fold_operands`.
+    """
+    from ..ops.precise import contract
+
+    blocks, stats5 = _gather_and_stats(
+        config, state, idx, mask, return_XTX, return_XTY
+    )
+    X_mean, X_std, Y_mean, Y_std, sum_w_train = stats5
+    stats = (X_mean, X_std, Y_mean, Y_std)
+    f_folds = idx.shape[0]
+    # At genomics-wide K every padded column costs megabytes across four
+    # (Kp, Cp)-sized buffers: _padded_dims picks 128-blocks there so the
+    # padding stays ~0.5% instead of rounding up to 512 multiples.
+    k, c, kp, cp, blk = _padded_dims(state, return_XTX, return_XTY)
+    m = state.M if return_XTY else 0
+    f64 = jnp.float64
+
+    center_xtx = config.center_X
+    center_xty = config.center_X or config.center_Y
+    center = (return_XTX and center_xtx) or (return_XTY and center_xty)
+    scale = config.scale_X or (return_XTY and config.scale_Y)
+
+    m2_parts = []
+    if return_XTX:
+        m2_parts.append(blocks.Xv_u)
+    if return_XTY:
+        m2_parts.append(blocks.Yv_u)
+    m2 = (
+        jnp.concatenate(m2_parts, axis=2)
+        if len(m2_parts) > 1 else m2_parts[0]
+    )
+    # Column-pad the ROW OPERANDS (cheap: L rows) so the contraction emits
+    # the product directly in kernel layout — padding the (Kp, Cp) product
+    # afterwards would materialise a multi-GB scatter at genomics-wide K.
+    n_l = idx.shape[1]
+    xvp = jnp.zeros((f_folds, n_l, kp), f64).at[:, :, :k].set(
+        blocks.Xv_w.astype(f64)
+    )
+    m2p = jnp.zeros((f_folds, n_l, cp), f64).at[:, :, :c].set(m2.astype(f64))
+    prod64 = jax.vmap(
+        lambda a, b: contract(a, b, mode=config.matmul_mode)
+    )(xvp, m2p)
+    prod_hi, prod_lo = df_from_f64(prod64)
+
+    kvec = jnp.zeros((f_folds, 2, 2, kp), jnp.float32)
+    cvec = jnp.zeros((f_folds, 2, 2, cp), jnp.float32)
+    kvec = kvec.at[:, 1, 0, :].set(1.0)
+    cvec = cvec.at[:, 1, 0, :].set(1.0)
+    if scale:
+        if config.scale_X:
+            kvec = _pair_into(kvec, (1.0 / X_std[:, 0, :]).astype(f64), 1)
+        i2_parts = []
+        if return_XTX:
+            i2_parts.append(
+                (1.0 / X_std[:, 0, :]).astype(f64) if config.scale_X
+                else jnp.ones((f_folds, k), f64)
+            )
+        if return_XTY:
+            i2_parts.append(
+                (1.0 / Y_std[:, 0, :]).astype(f64) if config.scale_Y
+                else jnp.ones((f_folds, m), f64)
+            )
+        i2 = (
+            jnp.concatenate(i2_parts, axis=1)
+            if len(i2_parts) > 1 else i2_parts[0]
+        )
+        cvec = _pair_into(cvec, i2, 1)
+    if center:
+        mX = X_mean[:, 0, :].astype(f64)
+        kvec = _pair_into(kvec, sum_w_train.astype(f64)[:, None] * mX, 0)
+        q_parts = []
+        if return_XTX:
+            q_parts.append(
+                mX if center_xtx else jnp.zeros((f_folds, k), f64)
+            )
+        if return_XTY:
+            q_parts.append(
+                Y_mean[:, 0, :].astype(f64) if center_xty
+                else jnp.zeros((f_folds, m), f64)
+            )
+        q_vec = (
+            jnp.concatenate(q_parts, axis=1)
+            if len(q_parts) > 1 else q_parts[0]
+        )
+        cvec = _pair_into(cvec, q_vec, 0)
+
+    if total_planes is None:
+        total_planes = _total_planes(state, return_XTX, return_XTY, kp, cp,
+                                     presplit=False)
+
+    pair_out = kernels.fused_epilogue_df64(
+        total_planes, prod_hi, prod_lo, kvec, cvec,
+        center=center, scale=scale, block_k=blk, block_c=blk,
+    )
+    return pair_out, stats, k, c
 
 
 def _f32_kernel_path(config, state, idx, mask, *, return_XTX, return_XTY):

@@ -245,3 +245,21 @@ class CVMatrix:
             return_XTX=return_XTX,
             return_XTY=return_XTY,
         )
+
+    def cross_validate_reduce(self, partitioner, *, reduce_fn, **kw):
+        """Device-resident sweep over ALL folds of ``partitioner``.
+
+        One compiled program computes every fold's training matrices (via
+        the fused Pallas kernels on TPU) and immediately consumes them with
+        ``reduce_fn(matrices, stats)`` — only the reductions come back.
+        Returns ``(fold_keys, stacked_reductions)``. No reference
+        equivalent (the reference leaves fold batching to the caller); see
+        :func:`cvmatrix_tpu.models.sweep.cross_validate_reduce`.
+        """
+        from .sweep import cross_validate_reduce as _cvr
+
+        state = self._require_fit()
+        keys, idx, mask = partitioner.padded_batches()
+        return keys, _cvr(
+            self.config, state, idx, mask, reduce_fn=reduce_fn, **kw
+        )

@@ -107,6 +107,7 @@ def cross_validate_reduce(
     return_XTY: bool = True,
     batch_size: int = 512,
     impl: str = "auto",
+    donate_state: bool = False,
 ):
     """Map ``reduce_fn`` over every fold's training matrices — ON DEVICE.
 
@@ -135,6 +136,10 @@ def cross_validate_reduce(
     impl : forwarded to the chunk computation — ``"auto"`` routes each
         chunk's matrices through the fused Pallas kernels on TPU
         (double-float for f64) and the vmapped XLA engine elsewhere.
+    donate_state : donate ``state``'s buffers to the sweep. XLA then frees
+        the K x K global product once the kernel's total planes are built —
+        at genomics-wide K that is gigabytes of HBM. The state is CONSUMED
+        (unusable afterwards); refit to reuse.
 
     Returns the stacked reductions with leading axis ``P``.
     """
@@ -157,7 +162,8 @@ def cross_validate_reduce(
     idx_c = idx.reshape(n_chunks, bs, *idx.shape[1:])
     mask_c = None if mask is None else mask.reshape(n_chunks, bs, *mask.shape[1:])
 
-    out = _reduce_sweep_jit(
+    runner = _reduce_sweep_jit_donated if donate_state else _reduce_sweep_jit
+    out = runner(
         config, return_XTX, return_XTY, impl, reduce_fn, state, idx_c, mask_c
     )
     out = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:n_folds], out)
@@ -166,12 +172,32 @@ def cross_validate_reduce(
 
 def _reduce_sweep_impl(config, return_XTX, return_XTY, impl, reduce_fn,
                        state, idx_c, mask_c):
-    from ..core.batch import training_matrices_batched
+    from ..core.batch import (
+        LARGE_FOLD_ROWS,
+        _padded_dims,
+        _total_planes,
+        training_matrices_batched,
+    )
+
+    # Hoist the kernel's padded total planes out of the chunk loop: built
+    # inside the loop they pin state's K x K product for the whole sweep
+    # (with donation, freeing it saves gigabytes at genomics-wide K).
+    planes = None
+    if (
+        impl in ("auto", "pallas")
+        and jax.default_backend() == "tpu"
+        and np.dtype(config.dtype).itemsize == 8
+        and idx_c.shape[2] >= LARGE_FOLD_ROWS
+    ):
+        _, _, kp, cp, _ = _padded_dims(state, return_XTX, return_XTY)
+        planes = _total_planes(state, return_XTX, return_XTY, kp, cp,
+                               presplit=False)
 
     def one_chunk(ci, cm):
         mats, stats = training_matrices_batched(
             config, state, ci, cm,
             return_XTX=return_XTX, return_XTY=return_XTY, impl=impl,
+            _total_planes_override=planes,
         )
         return jax.vmap(reduce_fn)(mats, stats)
 
@@ -186,6 +212,12 @@ def _reduce_sweep_impl(config, return_XTX, return_XTY, impl, reduce_fn,
 # Module-level jit: repeat sweeps with the same (config, flags, reduce_fn)
 # and shapes hit the compilation cache instead of re-tracing per call.
 _reduce_sweep_jit = jax.jit(_reduce_sweep_impl, static_argnums=(0, 1, 2, 3, 4))
+# Donating the fitted state lets XLA free its K x K product (gigabytes at
+# genomics-wide K) once the kernel's total planes are built — the state is
+# consumed. Opt-in via donate_state=True.
+_reduce_sweep_jit_donated = jax.jit(
+    _reduce_sweep_impl, static_argnums=(0, 1, 2, 3, 4), donate_argnums=(5,)
+)
 
 
 def materialize_sweep(
@@ -248,13 +280,22 @@ def _materialize_sweep_impl(
     state, idx, mask,
 ):
     from ..core.batch import (
+        LARGE_FOLD_ROWS,
         downdate_from_operands,
         prepare_fold_operands,
         slice_operands,
         training_matrices_batched,
     )
 
-    if use_pairs:
+    if use_pairs and idx.shape[1] >= LARGE_FOLD_ROWS:
+        # Large folds route per chunk through the MXU-product + epilogue
+        # path inside training_matrices_batched (hoisting L-row streams for
+        # every fold would also blow HBM at scale).
+        use_pairs_hoisted = False
+    else:
+        use_pairs_hoisted = use_pairs
+
+    if use_pairs_hoisted:
         # Hoisted-prep fast path: gathers, stats, scaling, pair conversion
         # and packing run ONCE for all folds; the loop body is two slices
         # plus the packed kernel. (Running the ~30 small layout ops per

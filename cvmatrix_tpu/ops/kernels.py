@@ -37,7 +37,12 @@ from .df64 import (
     two_sum,
 )
 
-__all__ = ["fused_downdate", "fused_downdate_df64"]
+__all__ = [
+    "fused_downdate",
+    "fused_downdate_df64",
+    "fused_downdate_df64_packed",
+    "fused_epilogue_df64",
+]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -167,6 +172,9 @@ def fused_downdate(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((f_folds, kp, cp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bk, bc), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * f_folds * lp * kp * cp + 4 * f_folds * kp * cp,
             bytes_accessed=(
@@ -364,6 +372,9 @@ def fused_downdate_df64(
             pltpu.VMEM((bk, bc), jnp.float32),
             pltpu.VMEM((bk, bc), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=80 * f_folds * kp * cp * max(n_l, 1),
             bytes_accessed=(
@@ -385,7 +396,7 @@ def fused_downdate_df64(
 
 def _df64_kernel_packed(total_ref, u_ref, v_ref, kv_ref, cv_ref,
                         out_ref, acc_h, acc_l, *, center: bool, scale: bool,
-                        n_l: int):
+                        n_l: int, presplit_total: bool):
     """Same math as :func:`_df64_kernel`, but the per-fold K-side vectors
     ride in one (1, 2, 2, bk) block [p, i1] and the C-side in (1, 2, 2, bc)
     [q, i2] — one HBM stream each instead of four."""
@@ -428,8 +439,13 @@ def _df64_kernel_packed(total_ref, u_ref, v_ref, kv_ref, cv_ref,
         t_h = total_ref[0]
         t_lo = total_ref[1]
         if scale:
-            thh = total_ref[2]
-            thl = total_ref[3]
+            if presplit_total:
+                thh = total_ref[2]
+                thl = total_ref[3]
+            else:
+                # huge-K mode: the total rides as 2 planes (half the HBM)
+                # and its Dekker split costs 4 extra flops per element.
+                thh, thl = split(t_h)
             i1_h = kv_ref[0, 1, 0][:, None]
             i1_lo = kv_ref[0, 1, 1][:, None]
             i2_h = cv_ref[0, 1, 0][None, :]
@@ -456,7 +472,7 @@ def _df64_kernel_packed(total_ref, u_ref, v_ref, kv_ref, cv_ref,
     jax.jit, static_argnames=("center", "scale", "block_k", "block_c")
 )
 def fused_downdate_df64_packed(
-    total4: jax.Array,  # (4, Kp, Cp), already padded to tile multiples
+    total4: jax.Array,  # (4 or 2, Kp, Cp), already padded to tile multiples
     u: jax.Array,       # (F, L, 2, Kp) pair
     v: jax.Array,       # (F, L, 2, Cp) pair
     kvec: jax.Array,    # (F, 2, 2, Kp): [p, i1] pairs
@@ -476,7 +492,7 @@ def fused_downdate_df64_packed(
     constraints (Kp, Cp multiples of the block sizes).
     """
     f_folds, n_l = u.shape[0], u.shape[1]
-    kp, cp = total4.shape[1], total4.shape[2]
+    n_planes, kp, cp = total4.shape
     bk = min(block_k, kp)
     bc = min(block_c, cp)
     if kp % bk or cp % bc:
@@ -485,10 +501,10 @@ def fused_downdate_df64_packed(
     grid = (f_folds, kp // bk, cp // bc, n_l)
     out = pl.pallas_call(
         functools.partial(_df64_kernel_packed, center=center, scale=scale,
-                          n_l=n_l),
+                          n_l=n_l, presplit_total=(n_planes == 4)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((4, bk, bc), lambda f, i, j, l: (f * 0, i, j),
+            pl.BlockSpec((n_planes, bk, bc), lambda f, i, j, l: (f * 0, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2, bk), lambda f, i, j, l: (f, l, f * 0, i),
                          memory_space=pltpu.VMEM),
@@ -507,6 +523,9 @@ def fused_downdate_df64_packed(
             pltpu.VMEM((bk, bc), jnp.float32),
             pltpu.VMEM((bk, bc), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=80 * f_folds * kp * cp * max(n_l, 1),
             bytes_accessed=(
@@ -517,3 +536,120 @@ def fused_downdate_df64_packed(
         ),
     )(total4, u, v, kvec, cvec)
     return out
+
+
+# --------------------------------------------------------------------------- #
+# Epilogue-only variant: downdate product precomputed (large folds)           #
+# --------------------------------------------------------------------------- #
+
+
+def _df64_epilogue_kernel(total_ref, prod_h_ref, prod_l_ref, kv_ref, cv_ref,
+                          out_ref, *, center: bool, scale: bool):
+    """out = (total - prod - p (x) q) (.) (i1 (x) i2), all double-float.
+
+    For folds with many validation rows the rank-L downdate product is far
+    cheaper on the MXU (exact int8-slice contraction,
+    :func:`cvmatrix_tpu.ops.precise.ozaki_contract`) than as an L-step VPU
+    accumulation; this kernel then applies the remaining one-pass epilogue.
+    Note the center term sits INSIDE the scale here (reference form,
+    ``cvmatrix/cvmatrix.py:1001-1009``) so p/q are the unscaled
+    ``sum_w_train * mean1`` / ``mean2`` vectors.
+    """
+    d_h = prod_h_ref[0]
+    d_l = prod_l_ref[0]
+    if center:
+        p_h = kv_ref[0, 0, 0][:, None]
+        p_lo = kv_ref[0, 0, 1][:, None]
+        q_h = cv_ref[0, 0, 0][None, :]
+        q_lo = cv_ref[0, 0, 1][None, :]
+        phh, phl = split(p_h)
+        qhh, qhl = split(q_h)
+        ch, ce = df_mul_presplit(p_h, p_lo, phh, phl, q_h, q_lo, qhh, qhl)
+        s, e = two_sum(d_h, ch)
+        d_h = s
+        d_l = d_l + (e + ce)
+
+    t_h = total_ref[0]
+    t_lo = total_ref[1]
+    # core = total - downdate (pre-scale)
+    oh, oe = two_sum(t_h, -d_h)
+    c_h, c_l = oh, oe + (t_lo - d_l)
+
+    if scale:
+        i1_h = kv_ref[0, 1, 0][:, None]
+        i1_lo = kv_ref[0, 1, 1][:, None]
+        i2_h = cv_ref[0, 1, 0][None, :]
+        i2_lo = cv_ref[0, 1, 1][None, :]
+        i1hh, i1hl = split(i1_h)
+        i2hh, i2hl = split(i2_h)
+        chh, chl = split(c_h)
+        t2h, t2e = two_prod_presplit(c_h, chh, chl, i1_h, i1hh, i1hl)
+        t2l = t2e + (c_h * i1_lo + c_l * i1_h)
+        t2hh, t2hl = split(t2h)
+        tsh, tse = two_prod_presplit(t2h, t2hh, t2hl, i2_h, i2hh, i2hl)
+        c_h = tsh
+        c_l = tse + (t2h * i2_lo + t2l * i2_h)
+
+    oh, ol = quick_two_sum(c_h, c_l)
+    out_ref[0, 0] = oh
+    out_ref[0, 1] = ol
+
+
+@functools.partial(
+    jax.jit, static_argnames=("center", "scale", "block_k", "block_c")
+)
+def fused_epilogue_df64(
+    total_planes: jax.Array,  # (2, Kp, Cp) pair (padded)
+    prod_hi: jax.Array,       # (F, Kp, Cp) downdate-product hi
+    prod_lo: jax.Array,       # (F, Kp, Cp) downdate-product lo
+    kvec: jax.Array,          # (F, 2, 2, Kp): [p, i1] pairs (unscaled p!)
+    cvec: jax.Array,          # (F, 2, 2, Cp): [q, i2] pairs
+    *,
+    center: bool,
+    scale: bool,
+    block_k: int = 512,
+    block_c: int = 512,
+) -> jax.Array:
+    """(total - prod - p (x) q) (.) (i1 (x) i2) -> (F, 2, Kp, Cp) pairs.
+
+    ``prod_hi``/``prod_lo`` arrive as SEPARATE pre-padded planes so the
+    caller's pair conversion fuses straight out of the contraction — a
+    stacked/padded copy of a (Kp, Cp) product is gigabytes at genomics-wide
+    K and was the peak HBM allocation before this layout.
+    """
+    f_folds = prod_hi.shape[0]
+    kp, cp = total_planes.shape[1], total_planes.shape[2]
+    bk = min(block_k, kp)
+    bc = min(block_c, cp)
+    if kp % bk or cp % bc:
+        raise ValueError(f"padded dims ({kp},{cp}) not multiples of "
+                         f"({bk},{bc})")
+    grid = (f_folds, kp // bk, cp // bc)
+    return pl.pallas_call(
+        functools.partial(_df64_epilogue_kernel, center=center, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, bk, bc), lambda f, i, j: (f * 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, bc), lambda f, i, j: (f, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, bc), lambda f, i, j: (f, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 2, bk), lambda f, i, j: (f, f * 0, f * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 2, bc), lambda f, i, j: (f, f * 0, f * 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, bk, bc),
+                               lambda f, i, j: (f, f * 0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f_folds, 2, kp, cp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=90 * f_folds * kp * cp,
+            bytes_accessed=f_folds * kp * cp * 16 + kp * cp * 8,
+            transcendentals=0,
+        ),
+    )(total_planes, prod_hi, prod_lo, kvec, cvec)

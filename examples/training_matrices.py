@@ -3,6 +3,11 @@
 training matrices and statistics.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from cvmatrix_tpu import CVMatrix, Partitioner

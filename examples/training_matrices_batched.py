@@ -5,6 +5,11 @@ Counterpart of the reference's ``examples/training_matrices_jax.py``
 padded+masked batch that handles UNEQUAL folds in a single program.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

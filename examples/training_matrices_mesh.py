@@ -5,6 +5,11 @@ Run on a multi-chip TPU slice, or simulate on CPU with:
         python examples/training_matrices_mesh.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import numpy as np
 

@@ -48,9 +48,17 @@ def _assert_close(ref, got, atol):
 
 
 @pytest.mark.parametrize("use_w", [False, True])
-def test_df64_batch_flag_lattice(interpret_pallas, use_w):
-    """All 16 combos, f64 pairs vs XLA f64 at 1e-10 (contract is 1e-8)."""
-    p = Partitioner(FOLDS)
+@pytest.mark.parametrize("fold_rows", ["small", "large"])
+def test_df64_batch_flag_lattice(interpret_pallas, use_w, fold_rows):
+    """All 16 combos, f64 pairs vs XLA f64 at 1e-10 (contract is 1e-8).
+
+    ``small`` folds (8 rows) exercise the packed VPU-accumulation kernel;
+    ``large`` folds (>= LARGE_FOLD_ROWS) the MXU-product + epilogue kernel.
+    """
+    if fold_rows == "small":
+        p = Partitioner(np.arange(X_ALL.shape[0]) % 25)  # folds of 8 rows
+    else:
+        p = Partitioner(FOLDS)  # 3 unequal folds, dozens of rows each
     keys, idx, mask = p.padded_batches()
     w = zero_fraction(WEIGHTS) if use_w else None
     for cx, cy, sx, sy in product([False, True], repeat=4):
