@@ -24,7 +24,6 @@ of this component (SURVEY.md §0, §2).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
