@@ -1,0 +1,101 @@
+"""True multi-process agreement test (SURVEY §4: multi-node testing).
+
+Spawns two OS processes that form a real ``jax.distributed`` cluster over
+localhost (CPU backend, 2 virtual devices per process = a 4-device global
+mesh), run the multihost sharded fit from host-local row blocks, and check
+the psum-assembled globals against a single-process fit. This exercises the
+actual multi-controller code path (`make_array_from_process_local_data`,
+cross-process collectives) that the virtual-mesh suite cannot.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ.pop("JAX_PLATFORMS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+jax.distributed.initialize(coordinator_address=coord, num_processes=nproc,
+                           process_id=pid, local_device_ids=[0, 1])
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == 2 * nproc
+
+sys.path.insert(0, os.getcwd())  # launched with cwd = repo root
+from cvmatrix_tpu import CVConfig
+from cvmatrix_tpu.parallel import multihost
+
+N, K, M = 37, 5, 2  # deliberately not divisible by 4 devices
+rng = np.random.default_rng(0)
+X = rng.random((N, K))
+Y = rng.random((N, M))
+w = rng.random(N)
+
+mesh = multihost.global_mesh()
+start, stop = multihost.host_row_slice(N, mesh)
+cfg = CVConfig(True, True, True, True, ddof=1)
+state = multihost.fit_sharded_multihost(
+    cfg, mesh, X[start:stop], Y[start:stop], w[start:stop], n_rows_global=N
+)
+
+xtx = np.asarray(jax.device_get(state.XTX))
+sum_w = float(jax.device_get(state.sum_w))
+if pid == 0:
+    # single-process truth
+    WX = X * w[:, None]
+    ref = WX.T @ X
+    err = float(np.max(np.abs(xtx - ref)))
+    assert err < 1e-10, f"multiprocess fit mismatch: {err}"
+    assert abs(sum_w - w.sum()) < 1e-10
+    print("MULTIPROCESS_OK", err)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_sharded_fit(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith(("XLA_", "JAX_"))
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, "2", str(pid)],
+            cwd=repo, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out))
+    for rc, out in outs:
+        assert rc == 0, out[-3000:]
+    assert any("MULTIPROCESS_OK" in out for _, out in outs), outs[0][1][-2000:]
