@@ -452,12 +452,15 @@ def _df64_kernel_packed(total_ref, u_ref, v_ref, kv_ref, cv_ref,
             i2_lo = cv_ref[0, 1, 1][None, :]
             i1hh, i1hl = split(i1_h)
             i2hh, i2hl = split(i2_h)
-            t2h, t2e = two_prod_presplit(t_h, thh, thl, i1_h, i1hh, i1hl)
-            t2l = t2e + (t_h * i1_lo + t_lo * i1_h)
-            t2hh, t2hl = split(t2h)
-            tsh, tse = two_prod_presplit(t2h, t2hh, t2hl, i2_h, i2hh, i2hl)
+            # s = r1 (x) r2 first (vector splits amortise across the tile),
+            # then one per-element product against the PRESPLIT total — one
+            # fewer per-element Dekker split than total*r1 then *r2.
+            s_h, s_e = df_mul_presplit(i1_h, i1_lo, i1hh, i1hl,
+                                       i2_h, i2_lo, i2hh, i2hl)
+            shh, shl = split(s_h)
+            tsh, tse = two_prod_presplit(t_h, thh, thl, s_h, shh, shl)
             t_h_out = tsh
-            t_l_out = tse + (t2h * i2_lo + t2l * i2_h)
+            t_l_out = tse + (t_h * s_e + t_lo * s_h)
         else:
             t_h_out = t_h
             t_l_out = t_lo
