@@ -113,8 +113,11 @@ def _total_planes(state, return_XTX, return_XTY, kp, cp, presplit):
     planes = jnp.zeros((n_planes, kp, cp), jnp.float32)
 
     def put(planes, mat, col):
-        mat = mat.astype(jnp.float64)
-        hi, lo = df_from_f64(mat)
+        if mat.dtype == jnp.float64:
+            hi, lo = df_from_f64(mat)
+        else:
+            hi = mat.astype(jnp.float32)
+            lo = jnp.zeros_like(hi)
         w = mat.shape[1]
         planes = planes.at[0, : mat.shape[0], col:col + w].set(hi)
         planes = planes.at[1, : mat.shape[0], col:col + w].set(lo)
@@ -188,7 +191,9 @@ def prepare_fold_operands(
     kp = _round_up(kp, min(block_k, kp))
     cp = _round_up(cp, min(block_c, cp))
 
-    f64 = jnp.float64
+    # In the f32 engine the same operand layout is built without f64
+    # arithmetic: df_from_f64 on an f32 input yields (x, 0) pairs exactly.
+    f64 = jnp.float64 if np.dtype(config.dtype).itemsize == 8 else jnp.float32
 
     r1 = (1.0 / X_std).astype(f64) if config.scale_X else None  # (F, 1, K)
     r2y = (
@@ -279,7 +284,10 @@ def prepare_fold_operands(
     # Presplitting the total's hi part saves 4 kernel flops/element but
     # doubles its HBM footprint — at huge K (genomics-wide problems) the
     # extra planes alone are gigabytes, so split in-kernel instead.
-    presplit = (kp * cp <= 4096 * 4096) and scale
+    presplit = (
+        (kp * cp <= 4096 * 4096) and scale
+        and np.dtype(config.dtype).itemsize == 8
+    )
     total4 = _total_planes(state, return_XTX, return_XTY, kp, cp, presplit)
 
     ops = FoldOperands(total4, u, v, kvec, cvec, center, scale, k, c)
@@ -341,12 +349,6 @@ def training_matrices_batched(
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
         impl = "pallas" if (on_tpu and dt.itemsize in (4, 8)) else "xla"
-        # f32 with tiny folds: the MXU downdate kernel wastes the systolic
-        # array on rank-<8 products and pays the trim copy; the fused XLA
-        # elementwise path measures faster end-to-end (154k vs 136k folds/s
-        # at LOOCV). f64 always prefers the double-float kernel.
-        if impl == "pallas" and dt.itemsize == 4 and idx.shape[1] < 8:
-            impl = "xla"
 
     if impl == "xla":
         fold_fn = lambda v, mk: training_matrices(  # noqa: E731
@@ -362,10 +364,28 @@ def training_matrices_batched(
         raise ValueError(f"Unknown impl: {impl!r} (auto|pallas|xla).")
 
     if dt.itemsize == 4:
-        return _f32_kernel_path(
+        if pair_output:
+            raise ValueError("pair_output requires the f64 Pallas impl.")
+        if idx.shape[1] >= LARGE_FOLD_ROWS:
+            return _f32_kernel_path(
+                config, state, idx, mask,
+                return_XTX=return_XTX, return_XTY=return_XTY,
+            )
+        ops, stats = prepare_fold_operands(
             config, state, idx, mask,
             return_XTX=return_XTX, return_XTY=return_XTY,
         )
+        out32 = kernels.fused_downdate_f32_packed(
+            ops.total4, ops.u, ops.v, ops.kvec, ops.cvec,
+            center=ops.center, scale=ops.scale,
+        )
+        k, c = ops.k, ops.c
+        if not trim_output:
+            return out32, stats  # raw padded (F, Kp, Cp)
+        out = out32[:, :k, :c]
+        if return_XTX and return_XTY:
+            return (out[:, :, :k], out[:, :, k:]), stats
+        return out, stats
 
     if idx.shape[1] >= LARGE_FOLD_ROWS:
         pair_out, stats, k, c = _large_fold_pallas_path(

@@ -251,18 +251,16 @@ def materialize_sweep(
     n_folds = idx.shape[0]
     bs = min(batch_size, n_folds)
     dt = np.dtype(config.dtype)
-    use_pairs = (
-        impl != "xla"
-        and jax.default_backend() == "tpu"
-        and dt.itemsize == 8
-    )
-    kernel_impl = "pallas" if use_pairs else impl
+    on_tpu = jax.default_backend() == "tpu"
+    use_pairs = impl != "xla" and on_tpu and dt.itemsize == 8
+    use_f32_packed = impl != "xla" and on_tpu and dt.itemsize == 4
+    kernel_impl = "pallas" if (use_pairs or use_f32_packed) else impl
 
     n_chunks = n_folds // bs
     runner = _materialize_sweep_jit if jit else _materialize_sweep_impl
     probe = runner(
         config, bs, n_chunks, return_XTX, return_XTY, kernel_impl,
-        use_pairs, state, idx, mask,
+        use_pairs or use_f32_packed, state, idx, mask,
     )
     rem = n_folds - n_chunks * bs
     if rem:  # remainder folds: one extra fixed-shape program
@@ -276,7 +274,7 @@ def materialize_sweep(
 
 
 def _materialize_sweep_impl(
-    config, bs, n_chunks, return_XTX, return_XTY, impl, use_pairs,
+    config, bs, n_chunks, return_XTX, return_XTY, impl, use_packed,
     state, idx, mask,
 ):
     from ..core.batch import (
@@ -287,19 +285,13 @@ def _materialize_sweep_impl(
         training_matrices_batched,
     )
 
-    if use_pairs and idx.shape[1] >= LARGE_FOLD_ROWS:
-        # Large folds route per chunk through the MXU-product + epilogue
-        # path inside training_matrices_batched (hoisting L-row streams for
-        # every fold would also blow HBM at scale).
-        use_pairs_hoisted = False
-    else:
-        use_pairs_hoisted = use_pairs
-
-    if use_pairs_hoisted:
-        # Hoisted-prep fast path: gathers, stats, scaling, pair conversion
-        # and packing run ONCE for all folds; the loop body is two slices
-        # plus the packed kernel. (Running the ~30 small layout ops per
-        # chunk costs as much launch overhead as the kernel itself.)
+    is_f64 = np.dtype(config.dtype).itemsize == 8
+    # Hoisted-prep fast path (small folds): gathers, stats, scaling, pair
+    # conversion and packing run ONCE for all folds; the loop body is two
+    # slices plus the packed kernel. Large folds instead route per chunk
+    # through the MXU-product paths inside training_matrices_batched
+    # (hoisting L-row streams for every fold would blow HBM at scale).
+    if use_packed and idx.shape[1] < LARGE_FOLD_ROWS:
         n = n_chunks * bs
         ops, _ = prepare_fold_operands(
             config, state, idx[:n],
@@ -308,22 +300,35 @@ def _materialize_sweep_impl(
             with_stats=False,
         )
         kp, cp = ops.total4.shape[1], ops.total4.shape[2]
+        if is_f64:
+            produce = downdate_from_operands
+            buf0 = jnp.zeros((bs, 2, kp, cp), jnp.float32)
+        else:
+            from ..ops import kernels as _k
+
+            def produce(o):
+                return _k.fused_downdate_f32_packed(
+                    o.total4, o.u, o.v, o.kvec, o.cvec,
+                    center=o.center, scale=o.scale,
+                )
+
+            buf0 = jnp.zeros((bs, kp, cp), jnp.float32)
 
         def body(c, carry):
-            return downdate_from_operands(slice_operands(ops, c * bs, bs))
+            return produce(slice_operands(ops, c * bs, bs))
 
-        buf = jax.lax.fori_loop(
-            0, n_chunks, body, jnp.zeros((bs, 2, kp, cp), jnp.float32)
-        )
+        buf = jax.lax.fori_loop(0, n_chunks, body, buf0)
         return buf.reshape(-1)[0]
+
+    pair = use_packed and is_f64
 
     def chunk_mats(st, ci, cm):
         out, _ = training_matrices_batched(
             config, st, ci, cm,
             return_XTX=return_XTX, return_XTY=return_XTY,
             impl=impl,
-            pair_output=use_pairs,
-            trim_output=not use_pairs,
+            pair_output=pair,
+            trim_output=not pair,
         )
         return out
 

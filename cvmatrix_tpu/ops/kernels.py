@@ -656,3 +656,94 @@ def fused_epilogue_df64(
             transcendentals=0,
         ),
     )(total_planes, prod_hi, prod_lo, kvec, cvec)
+
+
+# --------------------------------------------------------------------------- #
+# f32 packed variant: single-precision engine, same operand streams           #
+# --------------------------------------------------------------------------- #
+
+
+def _f32_kernel_packed(total_ref, u_ref, v_ref, kv_ref, cv_ref, out_ref,
+                       acc_ref, *, center: bool, scale: bool, n_l: int):
+    """Single-precision factor-scaled downdate on the packed operand layout.
+
+    Reads only the hi planes of the (pair-shaped) operands; ~6 VPU flops per
+    output element, so the sweep is HBM-write-bound. Same math shape as
+    :func:`_df64_kernel_packed` minus the double-word bookkeeping.
+    """
+    l = pl.program_id(3)
+
+    prod = u_ref[0, 0, 0][:, None] * v_ref[0, 0, 0][None, :]
+
+    @pl.when(l == 0)
+    def _():
+        acc_ref[:] = prod
+
+    @pl.when(l > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + prod
+
+    @pl.when(l == n_l - 1)
+    def _():
+        d = acc_ref[:]
+        if center:
+            d = d + kv_ref[0, 0, 0][:, None] * cv_ref[0, 0, 0][None, :]
+        t = total_ref[0]
+        if scale:
+            t = t * (kv_ref[0, 1, 0][:, None] * cv_ref[0, 1, 0][None, :])
+        out_ref[0] = t - d
+
+
+@functools.partial(
+    jax.jit, static_argnames=("center", "scale", "block_k", "block_c")
+)
+def fused_downdate_f32_packed(
+    total_planes: jax.Array,  # (>=1, Kp, Cp); plane 0 used
+    u: jax.Array,             # (F, L, 2, Kp); hi plane used
+    v: jax.Array,             # (F, L, 2, Cp)
+    kvec: jax.Array,          # (F, 2, 2, Kp): [p, i1]
+    cvec: jax.Array,          # (F, 2, 2, Cp): [q, i2]
+    *,
+    center: bool,
+    scale: bool,
+    block_k: int = 512,
+    block_c: int = 512,
+) -> jax.Array:
+    """Packed f32 downdate -> (F, Kp, Cp) float32 (padded)."""
+    f_folds, n_l = u.shape[0], u.shape[1]
+    kp, cp = total_planes.shape[1], total_planes.shape[2]
+    bk = min(block_k, kp)
+    bc = min(block_c, cp)
+    if kp % bk or cp % bc:
+        raise ValueError(f"padded dims ({kp},{cp}) not multiples of "
+                         f"({bk},{bc})")
+    grid = (f_folds, kp // bk, cp // bc, n_l)
+    return pl.pallas_call(
+        functools.partial(_f32_kernel_packed, center=center, scale=scale,
+                          n_l=n_l),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bk, bc), lambda f, i, j, l: (f * 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, bk), lambda f, i, j, l: (f, l, f * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, bc), lambda f, i, j, l: (f, l, f * 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 2, bk), lambda f, i, j, l: (f, f * 0, f * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 2, bc), lambda f, i, j, l: (f, f * 0, f * 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bk, bc), lambda f, i, j, l: (f, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f_folds, kp, cp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bk, bc), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * f_folds * kp * cp * max(n_l, 1),
+            bytes_accessed=f_folds * kp * cp * 4 + kp * cp * 4,
+            transcendentals=0,
+        ),
+    )(total_planes, u, v, kvec, cvec)
