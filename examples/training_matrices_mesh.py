@@ -35,7 +35,8 @@ if __name__ == "__main__":
 
     cfg = CVConfig(center_X=True, center_Y=True, scale_X=True, scale_Y=True)
     state = fit_sharded(cfg, mesh, X, Y, weights)
-    print("fit: XTX", state.XTX.shape, "sharding:", state.X.sharding.spec)
+    print("fit: XTX", state.XTX.shape, "sharding:", state.XTX.sharding.spec)
+    print("fit: X  ", state.X.shape, "sharding:", state.X.sharding.spec)
 
     p = Partitioner(folds)
     keys, idx_batch, mask = p.padded_batches()
