@@ -41,6 +41,10 @@ _N_SLICES = 10
 # Max rows per int8 matmul so the int32 accumulation stays exact:
 # N * 2^(2*T_BITS) < 2^31  =>  N < 2^18 (with a 2x safety margin).
 _MAX_CHUNK = 1 << 17
+# Below this row count, same-exponent slice products can additionally be
+# group-summed in int32 before the f64 recombination and stay exact:
+# N * 2^(2*T_BITS) * N_SLICES < 2^31  =>  N <= 2^15.
+_GROUP_CHUNK = 1 << 15
 
 
 def _mantissa_slices(x: jax.Array, n_slices: int):
@@ -145,21 +149,54 @@ def ozaki_contract(
         )
         return (acc + d.astype(f64) * sc, sa, sb), None
 
+    def group_step(carry, s_scale):
+        # Same-exponent group: sum the (s+1) slice products in EXACT int32
+        # first (valid for row counts <= _GROUP_CHUNK), then ONE f64
+        # convert+scale+add per group — ~5x less emulated-f64 recombination
+        # work than per-pair accumulation.
+        acc, sa, sb = carry
+        s, sc = s_scale
+
+        def i_step(i, d32):
+            return d32 + jax.lax.dot_general(
+                jax.lax.dynamic_index_in_dim(sa, i, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(sb, s - i, 0, keepdims=False),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+        d32 = jax.lax.fori_loop(
+            0, s + 1, i_step,
+            jnp.zeros((sa.shape[2], sb.shape[2]), jnp.int32),
+        )
+        return (acc + d32.astype(f64) * sc, sa, sb), None
+
     acc = jnp.zeros((a.shape[1], b.shape[1]), dtype=f64)
     # Chunk over rows so every int32 accumulation is provably exact.
     for start in range(0, max(n, 1), _MAX_CHUNK):
         stop = min(start + _MAX_CHUNK, n)
         sa = jnp.stack(_mantissa_slices(a_scaled[start:stop], n_slices))
         sb = jnp.stack(_mantissa_slices(b_scaled[start:stop], n_slices))
-        (acc, _, _), _ = jax.lax.scan(
-            pair_step,
-            (acc, sa, sb),
-            (
-                jnp.asarray(pairs_i, jnp.int32),
-                jnp.asarray(pairs_j, jnp.int32),
-                jnp.asarray(pair_scale, f64),
-            ),
-        )
+        if stop - start <= _GROUP_CHUNK:
+            group_scale = 2.0 ** (-_T_BITS * (np.arange(n_slices) + 2.0))
+            (acc, _, _), _ = jax.lax.scan(
+                group_step,
+                (acc, sa, sb),
+                (
+                    jnp.arange(n_slices, dtype=jnp.int32),
+                    jnp.asarray(group_scale, f64),
+                ),
+            )
+        else:
+            (acc, _, _), _ = jax.lax.scan(
+                pair_step,
+                (acc, sa, sb),
+                (
+                    jnp.asarray(pairs_i, jnp.int32),
+                    jnp.asarray(pairs_j, jnp.int32),
+                    jnp.asarray(pair_scale, f64),
+                ),
+            )
     out = acc * _pow2(e_a[:, None] + e_b[None, :])
     return out.astype(out_dtype)
 
