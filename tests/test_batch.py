@@ -101,7 +101,7 @@ def test_df64_pair_output(interpret_pallas):
 
 
 def test_f32_batch_kernel(interpret_pallas):
-    """f32 engine routes through the MXU downdate kernel."""
+    """f32 engine routes through the MXU downdate kernel (large folds)."""
     cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float32)
     p = Partitioner(FOLDS)
     keys, idx, mask = p.padded_batches()
@@ -110,6 +110,26 @@ def test_f32_batch_kernel(interpret_pallas):
                          WEIGHTS.astype(np.float32), idx, mask)
     # f32 contract: downdate magnitudes here are O(100); 1e-3 abs ~ 1e-5 rel
     _assert_close(ref, got, 1e-2)
+
+
+@pytest.mark.parametrize("flags", [(True, True, True, True),
+                                   (False, True, False, True),
+                                   (False, False, False, False)])
+def test_f32_packed_small_folds(interpret_pallas, flags):
+    """f32 engine, small folds: the packed single-precision kernel."""
+    cfg = CVConfig(*flags, ddof=1, dtype=np.float32)
+    p = Partitioner(np.arange(X_ALL.shape[0]) % 25)  # folds of 8 rows
+    keys, idx, mask = p.padded_batches()
+    ref, got = _run_both(cfg, X_ALL.astype(np.float32),
+                         Y_ALL.astype(np.float32),
+                         WEIGHTS.astype(np.float32), idx, mask)
+    _assert_close(ref, got, 1e-2)
+    # untrimmed raw output covers the sweep's hoisted consumption path
+    st = fit(cfg, X_ALL.astype(np.float32), Y_ALL.astype(np.float32),
+             WEIGHTS.astype(np.float32))
+    raw, _ = training_matrices_batched(cfg, st, idx, mask, impl="pallas",
+                                       trim_output=False)
+    assert raw.ndim == 3 and raw.shape[1] % 128 == 0
 
 
 def test_batch_errors():
