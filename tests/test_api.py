@@ -202,3 +202,46 @@ def test_preflight_rejects_degenerate_folds():
     with pytest.raises(ValueError, match="outside"):
         bad.folds_dict[0][:] = 99
         bad.validate(4)
+
+
+def test_cvmatrix_pickles():
+    """Picklability is a stated reference design constraint
+    (ref partitioner.py:26-31: CVMatrix must pickle cheaply so downstream
+    packages can fan folds out across processes)."""
+    import pickle
+
+    from .data import make_dataset
+
+    X, Y, FOLDS, W = make_dataset(n=60, k=4, m=2)
+    cvm = CVMatrix(True, True, True, True, ddof=1).fit(X, Y, W)
+    clone = pickle.loads(pickle.dumps(cvm))
+    p = Partitioner(FOLDS)
+    vi = p.get_validation_indices(0)
+    (a, b), _ = cvm.training_XTX_XTY(vi)
+    (a2, b2), _ = clone.training_XTX_XTY(vi)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(b2))
+    # Partitioner pickles independently (detached from the engine)
+    p2 = pickle.loads(pickle.dumps(p))
+    np.testing.assert_array_equal(p2.get_validation_indices(0), vi)
+
+
+def test_float16_dtype():
+    """f16 engine runs end-to-end (reference tests f16 on numpy; here the
+    JAX engine computes in f16 with the loose tolerance that implies)."""
+    from .data import make_dataset
+    from .oracle import NaiveOracle
+
+    X, Y, FOLDS, W = make_dataset(n=80, k=4, m=2)
+    cfg_kw = dict(ddof=1, dtype=np.float16)
+    cvm = CVMatrix(False, False, False, False, **cfg_kw).fit(X, Y, None)
+    p = Partitioner(FOLDS)
+    vi = p.get_validation_indices(0)
+    (a, b), _ = cvm.training_XTX_XTY(vi)
+    assert np.asarray(a).dtype == np.float16
+    naive = NaiveOracle(False, False, False, False, ddof=1,
+                        dtype=np.float64).fit(X, Y, None)
+    ti = np.setdiff1d(np.arange(X.shape[0]), vi)
+    (na, nb), _ = naive.training_XTX_XTY(ti)
+    # f16 has ~3 decimal digits; magnitudes here are O(40)
+    np.testing.assert_allclose(np.asarray(a, np.float64), na, rtol=0.15)

@@ -51,6 +51,13 @@ state = multihost.fit_sharded_multihost(
 
 xtx = np.asarray(jax.device_get(state.XTX))
 sum_w = float(jax.device_get(state.sum_w))
+
+# cross-process fold computation: mask-and-psum gathers + fold-sharded math
+from cvmatrix_tpu.parallel.distributed import sharded_training_matrices
+idx = np.arange(8)[None, :]  # one fold = rows 0..7
+(fxtx, fxty), _ = sharded_training_matrices(cfg, state, idx, None, mesh=mesh)
+fxtx = np.asarray(jax.device_get(fxtx[0]))
+
 if pid == 0:
     # single-process truth
     WX = X * w[:, None]
@@ -58,7 +65,19 @@ if pid == 0:
     err = float(np.max(np.abs(xtx - ref)))
     assert err < 1e-10, f"multiprocess fit mismatch: {err}"
     assert abs(sum_w - w.sum()) < 1e-10
-    print("MULTIPROCESS_OK", err)
+
+    # fold truth: recompute training XTX from scratch (all-on config)
+    ti = np.arange(8, N)
+    Xt, wt = X[ti], w[ti]
+    mX = np.average(Xt, axis=0, weights=wt)
+    nnz = np.count_nonzero(wt)
+    div = (nnz - 1) * wt.sum() / nnz
+    sX = np.sqrt(np.sum(wt[:, None] * (Xt - mX) ** 2, axis=0) / div)
+    Xc = (Xt - mX) / sX
+    fref = (Xc * wt[:, None]).T @ Xc
+    ferr = float(np.max(np.abs(fxtx - fref)))
+    assert ferr < 1e-9, f"multiprocess fold mismatch: {ferr}"
+    print("MULTIPROCESS_OK", err, ferr)
 """
 
 
