@@ -14,7 +14,7 @@ Baseline: the fastest published reference number for this configuration is
 folds/s. ``vs_baseline`` is our folds/s over that.
 
 Prints ONE JSON line to stdout. Environment knobs (reference-compatible):
-BENCH_N, BENCH_K, BENCH_M, BENCH_P, BENCH_BATCH, BENCH_DTYPE, plus
+BENCH_N, BENCH_K, BENCH_M, BENCH_P, BENCH_BATCH (0 = auto), BENCH_DTYPE, plus
 BENCH_IMPL=auto|pallas|xla (auto = fused double-float Pallas kernel on
 TPU f64, raw hi/lo pair materialisation — see chunk_mats below).
 """
@@ -40,7 +40,7 @@ def main():
     M = int(os.environ.get("BENCH_M", 10))
     P = int(os.environ.get("BENCH_P", N))  # LOOCV by default
     dtype = np.dtype(os.environ.get("BENCH_DTYPE", "float64")).type
-    batch = int(os.environ.get("BENCH_BATCH", 500))
+    batch = int(os.environ.get("BENCH_BATCH", 0)) or None  # None: HBM-budget auto
 
     if np.dtype(dtype).itemsize >= 8:
         jax.config.update("jax_enable_x64", True)

@@ -9,7 +9,7 @@ CSV. Environment knobs are reference-compatible:
   BENCH_N (100000)   BENCH_K (500)      BENCH_M (10)
   BENCH_PS ("3,5,10,100,1000,10000,100000")
   BENCH_CONFIGS ("plot" = the 3 reference-figure combos | "all" = 16)
-  BENCH_BATCH (500) fold-batch chunk size
+  BENCH_BATCH (0 = HBM-budget auto) fold-batch chunk size
   BENCH_NAIVE ("0")  also time the naive NumPy oracle (very slow)
   BENCH_DTYPE ("float64")
   BENCH_CSV ("benchmark_results.csv")
@@ -111,10 +111,11 @@ def run_cvmatrix(cfg_flags, P, X, Y, weights, batch, mode="warmjit"):
         t_fit = time.perf_counter() - t0
         t0 = time.perf_counter()
         s = jnp.zeros((), jnp.float64)
+        b = batch or 500
         for stack in stacks:
             d = jnp.asarray(stack)
-            for off in range(0, d.shape[0], batch):
-                s = probe(vfold(cfg, st, d[off : off + batch]), s)
+            for off in range(0, d.shape[0], b):
+                s = probe(vfold(cfg, st, d[off : off + b]), s)
         float(s)
         t_folds = time.perf_counter() - t0
         return t_fit, t_folds
@@ -167,7 +168,7 @@ def main():
     Ps = [int(x) for x in os.environ.get(
         "BENCH_PS", "3,5,10,100,1000,10000,100000").split(",")]
     dtype = np.dtype(os.environ.get("BENCH_DTYPE", "float64"))
-    batch = int(os.environ.get("BENCH_BATCH", 500))
+    batch = int(os.environ.get("BENCH_BATCH", 0)) or None  # None: HBM-budget auto
     csv_path = os.environ.get("BENCH_CSV", "benchmark_results.csv")
     modes = os.environ.get("BENCH_MODES", "warmjit").split(",")
     if dtype.itemsize >= 8:

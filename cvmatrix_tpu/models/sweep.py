@@ -226,11 +226,12 @@ def materialize_sweep(
     idx_batch,
     mask_batch=None,
     *,
-    batch_size: int = 500,
+    batch_size: Optional[int] = None,
     impl: str = "auto",
     return_XTX: bool = True,
     return_XTY: bool = True,
     jit: bool = True,
+    hbm_budget_bytes: float = 4e9,
 ):
     """Produce EVERY fold's training matrices in HBM; return a probe scalar.
 
@@ -249,8 +250,16 @@ def materialize_sweep(
     idx = jnp.asarray(idx_batch)
     mask = None if mask_batch is None else jnp.asarray(mask_batch, config.dtype)
     n_folds = idx.shape[0]
-    bs = min(batch_size, n_folds)
     dt = np.dtype(config.dtype)
+    if batch_size is None:
+        # Bound the loop-carried chunk buffers (double-buffered while-loop
+        # carry) by the HBM budget: a fold's materialised matrices are
+        # ~8 bytes/element regardless of engine dtype (f64 pairs or f64).
+        k = state.K
+        c = (k if return_XTX else 0) + ((state.M or 0) if return_XTY else 0)
+        per_fold = 2 * 8 * max(k * c, 1)
+        batch_size = max(1, min(2000, int(hbm_budget_bytes / per_fold)))
+    bs = min(batch_size, n_folds)
     on_tpu = jax.default_backend() == "tpu"
     use_pairs = impl != "xla" and on_tpu and dt.itemsize == 8
     use_f32_packed = impl != "xla" and on_tpu and dt.itemsize == 4
