@@ -75,8 +75,9 @@ def _gather_and_stats(config, state, idx, mask, return_XTX, return_XTY):
 class FoldOperands(NamedTuple):
     """Padded, packed, pair-converted kernel operands for a fold batch.
 
-    ``total4``: (4, Kp, Cp) f32 — total hi, lo, and the hi part's Dekker
-    split. ``u``/``v``: (F, L, 2, Kp/Cp) factor-scaled row pairs.
+    ``total4``: (4 or 2, Kp, Cp) f32 — total hi, lo [, the hi part's Dekker
+    split — omitted at huge K and for the f32 engine].
+    ``u``/``v``: (F, L, 2, Kp/Cp) factor-scaled row pairs.
     ``kvec``/``cvec``: (F, 2, 2, Kp/Cp) — [center vector, reciprocal std]
     pairs per side. ``center``/``scale`` are the kernel's static flags;
     ``k``/``c`` the unpadded output dims.

@@ -192,93 +192,6 @@ def fused_downdate(
 # --------------------------------------------------------------------------- #
 
 
-def _df64_kernel(total_ref, u_ref, v_ref, p_ref, q_ref, i1_ref, i2_ref,
-                 out_ref, acc_h, acc_l, *, center: bool, scale: bool,
-                 n_l: int):
-    """Grid (F, KT, CT, L): one validation row per L-step, df64 throughout.
-
-    Math (factor-scaled form of the reference epilogue,
-    ``cvmatrix/cvmatrix.py:1001-1009``): with r = reciprocal stds,
-
-        out = total (.) (r1 (x) r2)                      [scale]
-            - sum_l (xv_l (.) r1) (x) (m2_l (.) r2)       [downdate]
-            - (sw*mean1 (.) r1) (x) (mean2 (.) r2)        [center]
-
-    Every (.)/(x) is double-float: ~75 VPU flops per output element instead
-    of XLA's op-by-op emulated-f64 chain, in ONE HBM pass.
-    """
-    l = pl.program_id(3)
-
-    # -- accumulate this row's outer product into the scratch pair ----------
-    u_h = u_ref[0, 0, 0][:, None]  # (bk, 1)
-    u_lo = u_ref[0, 0, 1][:, None]
-    v_h = v_ref[0, 0, 0][None, :]  # (1, bc)
-    v_lo = v_ref[0, 0, 1][None, :]
-    uhh, uhl = split(u_h)
-    vhh, vhl = split(v_h)
-    ph, pe = df_mul_presplit(u_h, u_lo, uhh, uhl, v_h, v_lo, vhh, vhl)
-
-    @pl.when(l == 0)
-    def _():
-        acc_h[:] = ph
-        acc_l[:] = pe
-
-    @pl.when(l > 0)
-    def _():
-        s, e = two_sum(acc_h[:], ph)
-        acc_h[:] = s
-        acc_l[:] = acc_l[:] + (e + pe)
-
-    # -- epilogue on the last row -------------------------------------------
-    @pl.when(l == n_l - 1)
-    def _():
-        d_h, d_l = acc_h[:], acc_l[:]
-        if center:
-            p_h = p_ref[0, 0][:, None]
-            p_lo = p_ref[0, 1][:, None]
-            q_h = q_ref[0, 0][None, :]
-            q_lo = q_ref[0, 1][None, :]
-            phh, phl = split(p_h)
-            qhh, qhl = split(q_h)
-            ch, ce = df_mul_presplit(p_h, p_lo, phh, phl, q_h, q_lo, qhh, qhl)
-            s, e = two_sum(d_h, ch)
-            d_h = s
-            d_l = d_l + (e + ce)
-
-        t_h = total_ref[0]
-        t_lo = total_ref[1]
-        if scale:
-            thh = total_ref[2]  # hi-part Dekker split, precomputed once
-            thl = total_ref[3]
-            i1_h = i1_ref[0, 0][:, None]
-            i1_lo = i1_ref[0, 1][:, None]
-            i2_h = i2_ref[0, 0][None, :]
-            i2_lo = i2_ref[0, 1][None, :]
-            i1hh, i1hl = split(i1_h)
-            i2hh, i2hl = split(i2_h)
-            # t2 = total * r1 (total presplit; r1 vector presplit)
-            t2h, t2e = two_prod_presplit(t_h, thh, thl, i1_h, i1hh, i1hl)
-            t2l = t2e + (t_h * i1_lo + t_lo * i1_h)
-            # ts = t2 * r2 (t2 split per element; r2 vector presplit)
-            t2hh, t2hl = split(t2h)
-            tsh, tse = two_prod_presplit(t2h, t2hh, t2hl, i2_h, i2hh, i2hl)
-            t_h_out = tsh
-            t_l_out = tse + (t2h * i2_lo + t2l * i2_h)
-        else:
-            t_h_out = t_h
-            t_l_out = t_lo
-
-        # out = ts - downdate, renormalised so hi is the f32-rounded value.
-        oh, oe = two_sum(t_h_out, -d_h)
-        oh, ol = quick_two_sum(oh, oe + (t_l_out - d_l))
-        out_ref[0, 0] = oh
-        out_ref[0, 1] = ol
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("center", "scale", "block_k", "block_c", "trim_output"),
-)
 def fused_downdate_df64(
     total4: jax.Array,  # (4, K, C): t_hi, t_lo, split(t_hi) hi/lo
     u: jax.Array,       # (2, F, L, K) pair: scaled weighted validation rows
@@ -296,19 +209,17 @@ def fused_downdate_df64(
 ) -> jax.Array:
     """Batched double-float downdate; returns (F, 2, K, C) f32 hi/lo pairs.
 
-    ``trim_output=False`` returns the padded (F, 2, Kp, Cp) result instead —
-    slicing a multi-GB padded batch back to the exact shape costs a full
-    HBM round-trip, which padding-aware consumers (the sweep drivers) skip.
-
-    ``hi + lo`` agrees with the f64 reference epilogue to ~2^-46 relative —
-    inside the engine's 1e-8 contract with orders of magnitude to spare.
-    Padding: K/C padded internally (zeros in total/u/v/p/q, ones in i1/i2),
-    result sliced back.
+    Convenience wrapper over :func:`fused_downdate_df64_packed` for callers
+    holding separate pair-major operands: pads/packs them into the kernel
+    layout here. ``trim_output=False`` returns the padded (F, 2, Kp, Cp)
+    result instead — slicing a multi-GB padded batch back to the exact
+    shape costs a full HBM round-trip, which padding-aware consumers (the
+    sweep drivers) skip.
     """
     _, f_folds, n_l, k = u.shape
     c = v.shape[3]
-    kp = _round_up(k, 128) if k > 8 else 8
-    cp = _round_up(c, 128)
+    kp = _round_up(max(k, 8), 128)
+    cp = _round_up(max(c, 8), 128)
     bk = min(block_k, kp)
     bc = min(block_c, cp)
     kp = _round_up(kp, bk)
@@ -319,71 +230,21 @@ def fused_downdate_df64(
             tuple(slice(0, s) for s in x.shape)
         ].set(x)
 
-    # Pair axis moves next-to-last: Mosaic requires the last two block dims
-    # to be (8,128)-divisible or equal to the full array dims — (2, bk) with
-    # a full-size 2 satisfies that; (1, bk) with a blocked fold axis doesn't.
     total_p = pad(total4, (4, kp, cp))
     u_p = pad(jnp.moveaxis(u, 0, 2), (f_folds, n_l, 2, kp))
     v_p = pad(jnp.moveaxis(v, 0, 2), (f_folds, n_l, 2, cp))
+    kvec = jnp.zeros((f_folds, 2, 2, kp), jnp.float32).at[:, 1, 0, :].set(1.0)
+    cvec = jnp.zeros((f_folds, 2, 2, cp), jnp.float32).at[:, 1, 0, :].set(1.0)
     if center:
-        p_p = pad(jnp.moveaxis(p, 0, 1), (f_folds, 2, kp))
-        q_p = pad(jnp.moveaxis(q, 0, 1), (f_folds, 2, cp))
-    else:
-        p_p = jnp.zeros((f_folds, 2, kp), jnp.float32)
-        q_p = jnp.zeros((f_folds, 2, cp), jnp.float32)
+        kvec = kvec.at[:, 0, :, :k].set(jnp.moveaxis(p, 0, 1))
+        cvec = cvec.at[:, 0, :, :c].set(jnp.moveaxis(q, 0, 1))
     if scale:
-        ones_k = jnp.zeros((f_folds, 2, kp), jnp.float32).at[:, 0].set(1.0)
-        ones_c = jnp.zeros((f_folds, 2, cp), jnp.float32).at[:, 0].set(1.0)
-        i1_p = ones_k.at[:, :, :k].set(jnp.moveaxis(i1, 0, 1))
-        i2_p = ones_c.at[:, :, :c].set(jnp.moveaxis(i2, 0, 1))
-    else:
-        i1_p = jnp.zeros((f_folds, 2, kp), jnp.float32).at[:, 0].set(1.0)
-        i2_p = jnp.zeros((f_folds, 2, cp), jnp.float32).at[:, 0].set(1.0)
-
-    grid = (f_folds, kp // bk, cp // bc, n_l)
-
-    out = pl.pallas_call(
-        functools.partial(_df64_kernel, center=center, scale=scale, n_l=n_l),
-        grid=grid,
-        in_specs=[
-            # NB: block indices use f*0 instead of a literal 0 — under
-            # jax_enable_x64 a Python 0 traces as i64, which Mosaic cannot
-            # legalize on TPU.
-            pl.BlockSpec((4, bk, bc), lambda f, i, j, l: (f * 0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2, bk), lambda f, i, j, l: (f, l, f * 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2, bc), lambda f, i, j, l: (f, l, f * 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, bk), lambda f, i, j, l: (f, f * 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, bc), lambda f, i, j, l: (f, f * 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, bk), lambda f, i, j, l: (f, f * 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, bc), lambda f, i, j, l: (f, f * 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 2, bk, bc),
-                               lambda f, i, j, l: (f, f * 0, i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((f_folds, 2, kp, cp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((bk, bc), jnp.float32),
-            pltpu.VMEM((bk, bc), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=80 * f_folds * kp * cp * max(n_l, 1),
-            bytes_accessed=(
-                f_folds * kp * cp * 8 + kp * cp * 16
-                + f_folds * n_l * (kp + cp) * 8
-            ),
-            transcendentals=0,
-        ),
-    )(total_p, u_p, v_p, p_p, q_p, i1_p, i2_p)
+        kvec = kvec.at[:, 1, :, :k].set(jnp.moveaxis(i1, 0, 1))
+        cvec = cvec.at[:, 1, :, :c].set(jnp.moveaxis(i2, 0, 1))
+    out = fused_downdate_df64_packed(
+        total_p, u_p, v_p, kvec, cvec,
+        center=center, scale=scale, block_k=bk, block_c=bc,
+    )
     if trim_output:
         return out[:, :, :k, :c]
     return out
