@@ -265,21 +265,24 @@ def materialize_sweep(
     use_f32_packed = impl != "xla" and on_tpu and dt.itemsize == 4
     kernel_impl = "pallas" if (use_pairs or use_f32_packed) else impl
 
-    n_chunks = n_folds // bs
+    # Pad the fold count to a multiple of the chunk size by repeating the
+    # last fold (<1 chunk of duplicate work) — a separate remainder chunk
+    # would compile a SECOND whole sweep program per configuration.
+    pad = (-n_folds) % bs
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(idx[-1:], (pad,) + idx.shape[1:])]
+        )
+        if mask is not None:
+            mask = jnp.concatenate(
+                [mask, jnp.broadcast_to(mask[-1:], (pad,) + mask.shape[1:])]
+            )
+    n_chunks = idx.shape[0] // bs
     runner = _materialize_sweep_jit if jit else _materialize_sweep_impl
-    probe = runner(
+    return runner(
         config, bs, n_chunks, return_XTX, return_XTY, kernel_impl,
         use_pairs or use_f32_packed, state, idx, mask,
     )
-    rem = n_folds - n_chunks * bs
-    if rem:  # remainder folds: one extra fixed-shape program
-        probe = probe + materialize_sweep(
-            config, state, idx[-rem:],
-            None if mask is None else mask[-rem:],
-            batch_size=rem, impl=impl,
-            return_XTX=return_XTX, return_XTY=return_XTY, jit=jit,
-        )
-    return probe
 
 
 def _materialize_sweep_impl(

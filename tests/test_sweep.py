@@ -96,18 +96,18 @@ def test_reduce_sweep_unequal_folds_masked():
 
 
 def test_materialize_sweep_probe():
-    """Benchmark primitive: covers all folds incl. a remainder chunk."""
+    """Benchmark primitive: covers all folds; fold count padded to the
+    chunk size by repeating the last fold (one compiled program)."""
     cfg = CVConfig(True, True, True, True, 1)
     st = fit(cfg, X_ALL[:, :5], Y_ALL, WEIGHTS)
     ref = CVMatrix().fit(X_ALL[:, :5], Y_ALL, WEIGHTS)
-    idx = np.arange(37)[:, None]  # LOOCV over 37 rows, batch 10 -> rem 7
+    idx = np.arange(37)[:, None]  # LOOCV over 37 rows, batch 10 -> pad to 40
     probe = float(materialize_sweep(cfg, st, idx, batch_size=10))
     assert np.isfinite(probe)
-    # The probe is the sum over {last full chunk, remainder chunk} of each
-    # buffer's first element (fold 30's and fold 37-7=30... fold 20 and 30).
-    (x20, y20), _ = ref.training_XTX_XTY(idx[20])
+    # The probe is the final chunk buffer's first element per output: the
+    # last chunk holds folds 30..36 (+3 repeats of 36), so fold 30 leads.
     (x30, y30), _ = ref.training_XTX_XTY(idx[30])
-    expect = float(x20[0, 0] + y20[0, 0] + x30[0, 0] + y30[0, 0])
+    expect = float(x30[0, 0] + y30[0, 0])
     assert_allclose(probe, expect, rtol=1e-12)
 
 
