@@ -40,7 +40,10 @@ from .state import FitState
 
 __all__ = [
     "FoldOperands",
+    "LoocvSources",
+    "loocv_single_tile_ok",
     "prepare_fold_operands",
+    "prepare_loocv_sources",
     "training_matrices_batched",
 ]
 
@@ -293,6 +296,167 @@ def prepare_fold_operands(
 
     ops = FoldOperands(total4, u, v, kvec, cvec, center, scale, k, c)
     return (ops, stats) if with_stats else (ops, None)
+
+
+class LoocvSources(NamedTuple):
+    """Operands for the all-in-one LOOCV kernel (:func:`fused_loocv_df64`).
+
+    Everything except ``scal`` is per-DATASET (built once per sweep, sliced
+    never): row-pair sources the kernel gathers from directly, pre-shifted
+    Y-side operands, global stat vectors, and the padded total planes.
+    ``scal`` is the (F, 128) per-fold scalar stream (sliced per chunk).
+    """
+
+    total4: jnp.ndarray
+    xw: jnp.ndarray
+    xu: jnp.ndarray
+    yu: jnp.ndarray
+    yw: jnp.ndarray
+    gx: jnp.ndarray
+    gy: jnp.ndarray
+    ymask: jnp.ndarray
+    scal: jnp.ndarray
+
+    @property
+    def kp(self) -> int:
+        return self.total4.shape[1]
+
+    @property
+    def cp(self) -> int:
+        return self.total4.shape[2]
+
+
+def loocv_single_tile_ok(config: CVConfig, state: FitState, return_XTX: bool,
+                         return_XTY: bool) -> bool:
+    """Whether the fused LOOCV kernel's geometry applies.
+
+    Requires the f64 engine, the XTX side present, and the concatenated
+    [X | Y] output to fit ONE square tile (Kp == Cp <= 1024) so that X-side
+    vectors serve both operand layouts unchanged.
+    """
+    if np.dtype(config.dtype).itemsize != 8 or not return_XTX:
+        return False
+    k = state.K
+    c = k + ((state.M or 0) if return_XTY else 0)
+    kp = _round_up(max(k, 8), 128)
+    cp = _round_up(max(c, 8), 128)
+    return kp == cp and cp <= 1024
+
+
+def _row_pairs(mat, col0: int, cp: int):
+    """(N, C) f64 -> (N, 2, cp) f32 pair planes at column offset ``col0``."""
+    hi, lo = df_from_f64(mat.astype(jnp.float64))
+    w = mat.shape[1]
+    out = jnp.zeros((mat.shape[0], 2, cp), jnp.float32)
+    return out.at[:, 0, col0:col0 + w].set(hi).at[:, 1, col0:col0 + w].set(lo)
+
+
+def _vec_pairs(vec, col0: int, cp: int, row0: int, buf):
+    """Write a (1, C) f64 vector's pair into ``buf[row0:row0+2]`` shifted."""
+    hi, lo = df_from_f64(vec.astype(jnp.float64))
+    w = vec.shape[-1]
+    return buf.at[row0, col0:col0 + w].set(hi[0]).at[
+        row0 + 1, col0:col0 + w
+    ].set(lo[0])
+
+
+def prepare_loocv_sources(
+    config: CVConfig,
+    state: FitState,
+    idx_batch,
+    *,
+    return_XTX: bool = True,
+    return_XTY: bool = True,
+) -> LoocvSources:
+    """Build the dataset-wide operands for :func:`fused_loocv_df64`.
+
+    Replaces the per-fold hoisted prep of :func:`prepare_fold_operands` for
+    single-row folds: instead of materialising per-fold u/v/kvec/cvec streams
+    (~24 KB/fold), the kernel gathers validation rows itself and derives the
+    per-fold vectors on the fly — only the O(F) scalar stream remains.
+    Scalars follow :func:`cvmatrix_tpu.core.fold._train_weight_scalars` /
+    ``_std_divisor`` (reference ``cvmatrix/cvmatrix.py:589-630, 1045-1079``)
+    with reciprocals taken here so the kernel never divides by a scalar.
+    """
+    idx = jnp.asarray(idx_batch)
+    rows = idx.reshape(-1).astype(jnp.int32)
+    f_folds = rows.shape[0]
+    k = state.K
+    m = state.M if return_XTY else 0
+    c = k + (m or 0) if return_XTY else k
+    kp = _round_up(max(k, 8), 128)
+    cp = kp
+    weighted = state.weights is not None
+    with_y = return_XTY
+    f64 = jnp.float64
+
+    xw = _row_pairs(state.WX if weighted else state.X, 0, kp)
+    xu = _row_pairs(state.X, 0, kp) if weighted else xw
+
+    center = config.center_X or (with_y and config.center_Y)
+    need_x_mean = center or config.scale_X
+    need_y_stats = with_y and (
+        config.center_X or config.center_Y or config.scale_Y
+    )
+    if with_y:
+        yu = _row_pairs(state.Y, k, cp)
+        yw = (
+            _row_pairs(state.WY, k, cp)
+            if (weighted and need_y_stats) else yu
+        )
+        ymask = jnp.zeros((1, cp), jnp.float32).at[:, k:k + m].set(1.0)
+        gy = jnp.zeros((4, cp), jnp.float32)
+        if need_y_stats:
+            gy = _vec_pairs(state.sum_Y, k, cp, 0, gy)
+        if config.scale_Y:
+            gy = _vec_pairs(state.sum_sq_Y, k, cp, 2, gy)
+    else:
+        yu = yw = jnp.zeros((1, 2, cp), jnp.float32)
+        ymask = jnp.zeros((1, cp), jnp.float32)
+        gy = jnp.zeros((4, cp), jnp.float32)
+
+    gx = jnp.zeros((4, kp), jnp.float32)
+    if need_x_mean:
+        gx = _vec_pairs(state.sum_X, 0, kp, 0, gx)
+    if config.scale_X:
+        gx = _vec_pairs(state.sum_sq_X, 0, kp, 2, gx)
+
+    # (F, 1, 128): the trailing (1, 128) satisfies Mosaic's block rules.
+    scal = jnp.zeros((f_folds, 1, 128), jnp.float32)
+    if need_x_mean or need_y_stats:
+        if weighted:
+            wv = state.weights[rows, 0].astype(f64)
+            sw_t = state.sum_w.astype(f64) - wv
+            nnz_t = state.num_nonzero_w.astype(f64) - (wv != 0)
+        else:
+            sw_t = jnp.full((f_folds,), state.N - 1, f64)
+            nnz_t = sw_t
+        divisor = (nnz_t - config.ddof) * sw_t / nnz_t
+        for col, val in ((0, sw_t), (2, 1.0 / sw_t), (4, 1.0 / divisor)):
+            hi, lo = df_from_f64(val)
+            scal = scal.at[:, 0, col].set(hi).at[:, 0, col + 1].set(lo)
+
+    scale = config.scale_X or (with_y and config.scale_Y)
+    total4 = _total_planes(state, return_XTX, return_XTY, kp, cp,
+                           presplit=scale)
+    return LoocvSources(total4, xw, xu, yu, yw, gx, gy, ymask, scal)
+
+
+def loocv_from_sources(config: CVConfig, src: LoocvSources,
+                       rows, scal_slice=None, *, return_XTY: bool,
+                       interpret: bool = False):
+    """Run the fused LOOCV kernel on (a slice of) prepared sources."""
+    return kernels.fused_loocv_df64(
+        rows, src.total4, src.xw, src.xu, src.yu, src.yw, src.gx, src.gy,
+        src.ymask, src.scal if scal_slice is None else scal_slice,
+        center_xtx=config.center_X,
+        center_xty=config.center_X or config.center_Y,
+        scale_x=config.scale_X,
+        scale_y=config.scale_Y,
+        with_y=return_XTY,
+        resolution=config.resolution,
+        interpret=interpret,
+    )
 
 
 def downdate_from_operands(ops: FoldOperands, *, block_k=512, block_c=512):

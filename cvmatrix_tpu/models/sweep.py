@@ -292,12 +292,39 @@ def _materialize_sweep_impl(
     from ..core.batch import (
         LARGE_FOLD_ROWS,
         downdate_from_operands,
+        loocv_from_sources,
+        loocv_single_tile_ok,
         prepare_fold_operands,
+        prepare_loocv_sources,
         slice_operands,
         training_matrices_batched,
     )
 
     is_f64 = np.dtype(config.dtype).itemsize == 8
+    # All-in-one LOOCV kernel: gathers, statistics, downdate and epilogue in
+    # ONE Pallas pass per fold — no hoisted operand streams at all. Applies
+    # to single-row folds whose [X | Y] output fits one square tile.
+    if (
+        use_packed and is_f64 and mask is None and idx.shape[1] == 1
+        and loocv_single_tile_ok(config, state, return_XTX, return_XTY)
+    ):
+        n = n_chunks * bs
+        src = prepare_loocv_sources(
+            config, state, idx[:n],
+            return_XTX=return_XTX, return_XTY=return_XTY,
+        )
+        rows = idx[:n, 0].astype(jnp.int32)
+
+        def body(c, carry):
+            ci = jax.lax.dynamic_slice_in_dim(rows, c * bs, bs, 0)
+            sc = jax.lax.dynamic_slice_in_dim(src.scal, c * bs, bs, 0)
+            return loocv_from_sources(
+                config, src, ci, sc, return_XTY=return_XTY,
+            )
+
+        buf0 = jnp.zeros((bs, 2, src.kp, src.cp), jnp.float32)
+        buf = jax.lax.fori_loop(0, n_chunks, body, buf0)
+        return buf.reshape(-1)[0]
     # Hoisted-prep fast path (small folds): gathers, stats, scaling, pair
     # conversion and packing run ONCE for all folds; the loop body is two
     # slices plus the packed kernel. Large folds instead route per chunk

@@ -38,10 +38,13 @@ __all__ = [
     "two_prod_presplit",
     "df_from_f64",
     "df_to_f64",
+    "df_add",
     "df_mul",
     "df_mul_presplit",
     "df_sub",
     "df_neg",
+    "df_recip",
+    "df_sqrt",
 ]
 
 # Dekker split constant for f32: 2^12 + 1 (24-bit significand -> 12|12 halves,
@@ -120,7 +123,48 @@ def df_neg(ah, al):
     return -ah, -al
 
 
+def df_add(ah, al, bh, bl):
+    """Pair addition with exact hi-part compensation (sloppy low word)."""
+    s, e = two_sum(ah, bh)
+    return s, e + (al + bl)
+
+
 def df_sub(ah, al, bh, bl):
     """Pair subtraction with exact hi-part compensation (sloppy low word)."""
     s, e = two_sum(ah, -bh)
     return s, e + (al - bl)
+
+
+def df_recip(bh, bl):
+    """Pair reciprocal 1/(bh + bl) via one double-word Newton step.
+
+    Seed ``q0 = 1/bh`` is correctly-rounded f32 (~2^-24); the residual
+    ``r = 1 - b*q0`` is formed with an exact TwoProd (the ``1 - p`` subtract
+    is exact by Sterbenz since ``p`` is within a rounding of 1), so the
+    corrected pair carries ~2^-46 relative error. b == +-0 yields +-inf.
+    """
+    q0 = 1.0 / bh
+    q0h, q0l = split(q0)
+    bhh, bhl = split(bh)
+    p, e = two_prod_presplit(bh, bhh, bhl, q0, q0h, q0l)
+    r = ((1.0 - p) - e) - bl * q0
+    return quick_two_sum(q0, q0 * r)
+
+
+def df_sqrt(ah, al):
+    """Pair square root of a nonnegative pair; a <= 0 returns exact 0.
+
+    Seed ``s0 = sqrt(ah)`` (correctly-rounded f32), then one double-word
+    Newton step ``s = s0 + (a - s0^2) / (2 s0)`` with the square formed
+    exactly — ~2^-46 relative.
+    """
+    safe = jnp.maximum(ah, jnp.float32(1e-38))
+    s0 = jnp.sqrt(safe)
+    s0h, s0l = split(s0)
+    p, e = two_prod_presplit(s0, s0h, s0l, s0, s0h, s0l)
+    r = ((ah - p) - e) + al
+    s1 = (0.5 / s0) * r
+    sh, sl = quick_two_sum(s0, s1)
+    zero = ah <= 0
+    z = jnp.float32(0.0)
+    return jnp.where(zero, z, sh), jnp.where(zero, z, sl)

@@ -30,7 +30,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .df64 import (
+    df_add,
+    df_mul,
     df_mul_presplit,
+    df_recip,
+    df_sqrt,
+    df_sub,
     quick_two_sum,
     split,
     two_prod_presplit,
@@ -42,6 +47,7 @@ __all__ = [
     "fused_downdate_df64",
     "fused_downdate_df64_packed",
     "fused_epilogue_df64",
+    "fused_loocv_df64",
 ]
 
 
@@ -284,52 +290,68 @@ def _df64_kernel_packed(total_ref, u_ref, v_ref, kv_ref, cv_ref,
 
     @pl.when(l == n_l - 1)
     def _():
-        d_h, d_l = acc_h[:], acc_l[:]
-        if center:
-            p_h = kv_ref[0, 0, 0][:, None]
-            p_lo = kv_ref[0, 0, 1][:, None]
-            q_h = cv_ref[0, 0, 0][None, :]
-            q_lo = cv_ref[0, 0, 1][None, :]
-            phh, phl = split(p_h)
-            qhh, qhl = split(q_h)
-            ch, ce = df_mul_presplit(p_h, p_lo, phh, phl, q_h, q_lo, qhh, qhl)
-            s, e = two_sum(d_h, ch)
-            d_h = s
-            d_l = d_l + (e + ce)
-
-        t_h = total_ref[0]
-        t_lo = total_ref[1]
-        if scale:
-            if presplit_total:
-                thh = total_ref[2]
-                thl = total_ref[3]
-            else:
-                # huge-K mode: the total rides as 2 planes (half the HBM)
-                # and its Dekker split costs 4 extra flops per element.
-                thh, thl = split(t_h)
-            i1_h = kv_ref[0, 1, 0][:, None]
-            i1_lo = kv_ref[0, 1, 1][:, None]
-            i2_h = cv_ref[0, 1, 0][None, :]
-            i2_lo = cv_ref[0, 1, 1][None, :]
-            i1hh, i1hl = split(i1_h)
-            i2hh, i2hl = split(i2_h)
-            # s = r1 (x) r2 first (vector splits amortise across the tile),
-            # then one per-element product against the PRESPLIT total — one
-            # fewer per-element Dekker split than total*r1 then *r2.
-            s_h, s_e = df_mul_presplit(i1_h, i1_lo, i1hh, i1hl,
-                                       i2_h, i2_lo, i2hh, i2hl)
-            shh, shl = split(s_h)
-            tsh, tse = two_prod_presplit(t_h, thh, thl, s_h, shh, shl)
-            t_h_out = tsh
-            t_l_out = tse + (t_h * s_e + t_lo * s_h)
-        else:
-            t_h_out = t_h
-            t_l_out = t_lo
-
-        oh, oe = two_sum(t_h_out, -d_h)
-        oh, ol = quick_two_sum(oh, oe + (t_l_out - d_l))
+        pq = (
+            (kv_ref[0, 0, 0][:, None], kv_ref[0, 0, 1][:, None],
+             cv_ref[0, 0, 0][None, :], cv_ref[0, 0, 1][None, :])
+            if center else None
+        )
+        i12 = (
+            (kv_ref[0, 1, 0][:, None], kv_ref[0, 1, 1][:, None],
+             cv_ref[0, 1, 0][None, :], cv_ref[0, 1, 1][None, :])
+            if scale else None
+        )
+        oh, ol = _df64_tile_epilogue(
+            total_ref, acc_h[:], acc_l[:], pq, i12,
+            presplit_total=presplit_total,
+        )
         out_ref[0, 0] = oh
         out_ref[0, 1] = ol
+
+
+def _df64_tile_epilogue(total_ref, d_h, d_l, pq, i12, *, presplit_total):
+    """Shared factor-form tile epilogue: ``total (.) (i1 (x) i2) - d - p (x) q``.
+
+    ``pq``/``i12`` are ``(k_hi, k_lo, c_hi, c_lo)`` column/row vector pairs or
+    ``None`` when centering/scaling is off. ``d_h``/``d_l`` is the accumulated
+    (factor-scaled) downdate product pair.
+    """
+    if pq is not None:
+        p_h, p_lo, q_h, q_lo = pq
+        phh, phl = split(p_h)
+        qhh, qhl = split(q_h)
+        ch, ce = df_mul_presplit(p_h, p_lo, phh, phl, q_h, q_lo, qhh, qhl)
+        s, e = two_sum(d_h, ch)
+        d_h = s
+        d_l = d_l + (e + ce)
+
+    t_h = total_ref[0]
+    t_lo = total_ref[1]
+    if i12 is not None:
+        if presplit_total:
+            thh = total_ref[2]
+            thl = total_ref[3]
+        else:
+            # huge-K mode: the total rides as 2 planes (half the HBM)
+            # and its Dekker split costs 4 extra flops per element.
+            thh, thl = split(t_h)
+        i1_h, i1_lo, i2_h, i2_lo = i12
+        i1hh, i1hl = split(i1_h)
+        i2hh, i2hl = split(i2_h)
+        # s = r1 (x) r2 first (vector splits amortise across the tile),
+        # then one per-element product against the PRESPLIT total — one
+        # fewer per-element Dekker split than total*r1 then *r2.
+        s_h, s_e = df_mul_presplit(i1_h, i1_lo, i1hh, i1hl,
+                                   i2_h, i2_lo, i2hh, i2hl)
+        shh, shl = split(s_h)
+        tsh, tse = two_prod_presplit(t_h, thh, thl, s_h, shh, shl)
+        t_h_out = tsh
+        t_l_out = tse + (t_h * s_e + t_lo * s_h)
+    else:
+        t_h_out = t_h
+        t_l_out = t_lo
+
+    oh, oe = two_sum(t_h_out, -d_h)
+    return quick_two_sum(oh, oe + (t_l_out - d_l))
 
 
 @functools.partial(
@@ -608,3 +630,244 @@ def fused_downdate_f32_packed(
             transcendentals=0,
         ),
     )(total_planes, u, v, kvec, cvec)
+
+
+# --------------------------------------------------------------------------- #
+# LOOCV all-in-one kernel: gather + stats + downdate + epilogue, one pass     #
+# --------------------------------------------------------------------------- #
+
+
+def _loocv_fold_math(total, xw_h, xw_l, xu_h, xu_l, yu_h, yu_l, yw_h, yw_l,
+                     gx, gy, ymask, scal_row, *, center_xtx: bool,
+                     center_xty: bool, scale_x: bool, scale_y: bool,
+                     with_y: bool, presplit_total: bool, resolution: float):
+    """One LOOCV fold's full math on plain (1, Kp) f32 arrays.
+
+    Shared between the Pallas kernel (ref loads around it) and the eager
+    reference implementation used by the CPU tests — Pallas interpret mode
+    executes f32 chains with FMA/excess precision on CPU (measured: ``a*b+c``
+    matches the f64-fused result), which silently breaks double-float
+    compensation; eager per-op execution is faithfully rounded, and the real
+    TPU VPU has no FMA at all (probed), so hardware matches this math.
+    """
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+
+    sw = (scal_row[0], scal_row[1])
+    rsw = (scal_row[2], scal_row[3])
+    rdv = (scal_row[4], scal_row[5])
+
+    center = center_xtx or (with_y and center_xty)
+    scale = scale_x or (with_y and scale_y)
+    need_x_mean = center or scale_x
+    need_y_mean = with_y and (center_xty or scale_y)
+
+    def side_stats(w_h, w_l, u_h, u_l, g, need_mean, need_std):
+        """Downdated mean and clamped reciprocal std for one side.
+
+        The same formulas as :func:`cvmatrix_tpu.core.fold._train_std`
+        (reference ``cvmatrix/cvmatrix.py:1081-1129``), in double-float.
+        """
+        m = r = None
+        if need_mean or need_std:
+            st = df_sub(g[0:1, :], g[1:2, :], w_h, w_l)  # sum_train pair
+            m = df_mul(st[0], st[1], *rsw)               # mean = sum * rsw
+        if need_std:
+            sq = df_mul(w_h, w_l, u_h, u_l)              # squared val row
+            ss = df_sub(g[2:3, :], g[3:4, :], sq[0], sq[1])
+            t1 = df_mul(m[0], m[1], st[0], st[1])
+            t1 = (-2.0 * t1[0], -2.0 * t1[1])            # exact scale by -2
+            m2 = df_mul(m[0], m[1], m[0], m[1])
+            t2 = df_mul(m2[0], m2[1], *sw)
+            v = df_add(*df_add(*t1, *t2), *ss)
+            v = df_mul(v[0], v[1], *rdv)
+            sd = df_sqrt(v[0], v[1])                     # var <= 0 -> 0
+            clamp = sd[0] <= jnp.float32(resolution)
+            rr = df_recip(sd[0], sd[1])
+            r = (jnp.where(clamp, one, rr[0]), jnp.where(clamp, zero, rr[1]))
+        return m, r
+
+    mX, r1 = side_stats(xw_h, xw_l, xu_h, xu_l, gx, need_x_mean, scale_x)
+    if with_y:
+        mY, r2 = side_stats(yw_h, yw_l, yu_h, yu_l, gy, need_y_mean,
+                            with_y and scale_y)
+
+    # ---- factor-form operand vectors ------------------------------------- #
+    u = df_mul(xw_h, xw_l, *r1) if scale_x else (xw_h, xw_l)
+    vx = df_mul(xu_h, xu_l, *r1) if scale_x else (xu_h, xu_l)
+    if with_y:
+        vy = df_mul(yu_h, yu_l, *r2) if scale_y else (yu_h, yu_l)
+        # Y operands are zero outside the Y columns and X operands zero at
+        # columns >= K, so the concatenated row is a plain pair addition.
+        v = df_add(*vx, *vy)
+    else:
+        v = vx
+
+    pq = None
+    if center:
+        mXr = df_mul(mX[0], mX[1], *r1) if scale_x else mX
+        p = df_mul(mXr[0], mXr[1], *sw)
+        if center_xtx:
+            qx = mXr
+        else:
+            qx = (jnp.zeros_like(mXr[0]), jnp.zeros_like(mXr[1]))
+        if with_y and center_xty:
+            qy = df_mul(mY[0], mY[1], *r2) if scale_y else mY
+            q = df_add(*qx, *qy)
+        else:
+            q = qx
+        pq = (p[0][0][:, None], p[1][0][:, None],
+              q[0][0][None, :], q[1][0][None, :])
+
+    i12 = None
+    if scale:
+        i1 = r1 if scale_x else (jnp.ones_like(xw_h), jnp.zeros_like(xw_h))
+        ri2y = r2 if (with_y and scale_y) else i1
+        i2 = (jnp.where(ymask > 0, ri2y[0], i1[0]),
+              jnp.where(ymask > 0, ri2y[1], i1[1]))
+        i12 = (i1[0][0][:, None], i1[1][0][:, None],
+               i2[0][0][None, :], i2[1][0][None, :])
+
+    uhh, uhl = split(u[0][0][:, None])
+    vhh, vhl = split(v[0][0][None, :])
+    d_h, d_l = df_mul_presplit(
+        u[0][0][:, None], u[1][0][:, None], uhh, uhl,
+        v[0][0][None, :], v[1][0][None, :], vhh, vhl,
+    )
+    return _df64_tile_epilogue(total, d_h, d_l, pq, i12,
+                               presplit_total=presplit_total)
+
+
+def _df64_loocv_kernel(idx_ref, total_ref, xw_ref, xu_ref, yu_ref, yw_ref,
+                       gx_ref, gy_ref, ymask_ref, scal_ref, out_ref, *,
+                       with_y: bool, **flags):
+    """Pallas wrapper: ref loads around :func:`_loocv_fold_math`."""
+    if with_y:
+        yu_h, yu_l = yu_ref[0, 0:1, :], yu_ref[0, 1:2, :]
+        yw_h, yw_l = yw_ref[0, 0:1, :], yw_ref[0, 1:2, :]
+    else:
+        yu_h = yu_l = yw_h = yw_l = None
+    oh, ol = _loocv_fold_math(
+        total_ref,
+        xw_ref[0, 0:1, :], xw_ref[0, 1:2, :],
+        xu_ref[0, 0:1, :], xu_ref[0, 1:2, :],
+        yu_h, yu_l, yw_h, yw_l,
+        gx_ref[:], gy_ref[:], ymask_ref[0:1, :], scal_ref[0, 0],
+        with_y=with_y, **flags,
+    )
+    out_ref[0, 0] = oh
+    out_ref[0, 1] = ol
+
+
+def fused_loocv_df64_reference(
+    idx, total4, xw, xu, yu, yw, gx, gy, ymask, scal, *,
+    center_xtx, center_xty, scale_x, scale_y, with_y, resolution,
+):
+    """Eager reference of :func:`fused_loocv_df64` (same math, no Pallas).
+
+    Runs op-by-op (do NOT jit it): eager execution keeps every f32 op
+    correctly rounded, making this the faithful CPU model of the TPU kernel
+    for tests. Returns (F, 2, Kp, Cp) pairs.
+    """
+    n_planes = total4.shape[0]
+    outs = []
+    for f in range(int(idx.shape[0])):
+        r = int(idx[f])
+        oh, ol = _loocv_fold_math(
+            total4,
+            xw[r, 0:1, :], xw[r, 1:2, :],
+            xu[r, 0:1, :], xu[r, 1:2, :],
+            (yu[r, 0:1, :] if with_y else None),
+            (yu[r, 1:2, :] if with_y else None),
+            (yw[r, 0:1, :] if with_y else None),
+            (yw[r, 1:2, :] if with_y else None),
+            gx, gy, ymask[0:1, :], scal[f, 0],
+            center_xtx=center_xtx, center_xty=center_xty,
+            scale_x=scale_x, scale_y=scale_y, with_y=with_y,
+            presplit_total=(n_planes == 4), resolution=resolution,
+        )
+        outs.append(jnp.stack([oh, ol]))
+    return jnp.stack(outs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("center_xtx", "center_xty", "scale_x", "scale_y",
+                     "with_y", "resolution", "interpret"),
+)
+def fused_loocv_df64(
+    idx: jax.Array,     # (F,) int32 validation row index per fold
+    total4: jax.Array,  # (4 or 2, KP, CP) total pair planes, KP == CP
+    xw: jax.Array,      # (N, 2, KP) weighted X row pairs (or X if unweighted)
+    xu: jax.Array,      # (N, 2, KP) unweighted X row pairs (may alias xw)
+    yu: jax.Array,      # (N, 2, CP) Y pairs SHIFTED to columns [K, K+M)
+    yw: jax.Array,      # (N, 2, CP) weighted-Y pairs shifted (may alias yu)
+    gx: jax.Array,      # (4, KP): sum_X pair, sum_sq_X pair (zeros if unused)
+    gy: jax.Array,      # (4, CP): shifted sum_Y pair, sum_sq_Y pair
+    ymask: jax.Array,   # (1, CP) f32: 1.0 on Y columns
+    scal: jax.Array,    # (F, 1, 128) f32 per-fold scalar pairs
+    *,
+    center_xtx: bool,
+    center_xty: bool,
+    scale_x: bool,
+    scale_y: bool,
+    with_y: bool,
+    resolution: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """All-in-one LOOCV downdate -> (F, 2, KP, CP) double-float pairs.
+
+    See :func:`_df64_loocv_kernel`. Requires KP == CP (single concatenated
+    tile) and one validation row per fold; the general small-fold path
+    (:func:`fused_downdate_df64_packed`) covers everything else.
+    """
+    f_folds = idx.shape[0]
+    n_planes, kp, cp = total4.shape
+    if kp != cp:
+        raise ValueError(f"fused_loocv_df64 requires KP == CP, got ({kp},{cp})")
+    # f * 0 (not a literal 0): Python ints trace as i64 under x64, which
+    # Mosaic cannot legalize in index maps.
+    row = lambda f, idx_ref: (idx_ref[f], f * 0, f * 0)  # noqa: E731
+    const3 = lambda f, idx_ref: (f * 0, f * 0, f * 0)  # noqa: E731
+    const2 = lambda f, idx_ref: (f * 0, f * 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(f_folds,),
+        in_specs=[
+            pl.BlockSpec((n_planes, kp, cp), const3),
+            pl.BlockSpec((1, 2, kp), row),
+            pl.BlockSpec((1, 2, kp), row),
+            pl.BlockSpec((1, 2, cp), row if with_y else const3),
+            pl.BlockSpec((1, 2, cp), row if with_y else const3),
+            pl.BlockSpec((4, kp), const2),
+            pl.BlockSpec((4, cp), const2),
+            pl.BlockSpec((1, cp), const2),
+            pl.BlockSpec((1, 1, 128), lambda f, idx_ref: (f, f * 0, f * 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, kp, cp),
+                               lambda f, idx_ref: (f, f * 0, f * 0, f * 0)),
+    )
+    scale = scale_x or (with_y and scale_y)
+    return pl.pallas_call(
+        functools.partial(
+            _df64_loocv_kernel,
+            center_xtx=center_xtx, center_xty=center_xty,
+            scale_x=scale_x, scale_y=scale_y, with_y=with_y,
+            presplit_total=(n_planes == 4), resolution=resolution,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((f_folds, 2, kp, cp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(34 + (17 if (center_xtx or center_xty) else 0)
+                   + (32 if scale else 0)) * f_folds * kp * cp,
+            bytes_accessed=(
+                f_folds * kp * cp * 8 + kp * cp * 4 * n_planes
+                + f_folds * (4 * kp + 2 * cp) * 4 * 2
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, total4, xw, xu, yu, yw, gx, gy, ymask, scal)

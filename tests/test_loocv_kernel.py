@@ -1,0 +1,126 @@
+"""The all-in-one LOOCV kernel: math parity, wiring, and df64 primitives.
+
+The kernel's math is verified through :func:`fused_loocv_df64_reference`,
+an EAGER twin of the Pallas kernel body (same code path via
+``_loocv_fold_math``). Eager execution is the faithful CPU model: Pallas
+interpret mode on CPU executes f32 chains with FMA/excess precision
+(measured: ``a*b + c`` matches the f64-fused result, breaking double-float
+compensation by ~1 ulp of the output), while the real TPU VPU has no FMA
+(probed) — so eager-rounded f32 is what the hardware computes. The Pallas
+call itself is exercised in interpret mode at a loose tolerance purely to
+validate operand wiring (index maps, layouts); exact on-hardware parity is
+driven on the real chip (see .claude/skills/verify/SKILL.md).
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import jax
+import jax.numpy as jnp
+
+from cvmatrix_tpu import CVConfig, fit
+from cvmatrix_tpu.core import batch as B
+from cvmatrix_tpu.ops import kernels as KK
+from cvmatrix_tpu.ops.df64 import df_from_f64, df_to_f64, df_recip, df_sqrt
+
+N, K, M = 120, 50, 7
+rng = np.random.default_rng(11)
+X_ALL = rng.normal(size=(N, K)) * 3 + 1
+Y_ALL = rng.normal(size=(N, M))
+W_ALL = rng.uniform(0, 2, size=N)
+W_ALL[::7] = 0.0
+IDX = np.array([0, 3, 7, 11, 60, 119])[:, None]
+
+
+def _run_reference(cfg, st, with_y):
+    src = B.prepare_loocv_sources(cfg, st, IDX, return_XTX=True,
+                                  return_XTY=with_y)
+    pair = KK.fused_loocv_df64_reference(
+        IDX[:, 0], src.total4, src.xw, src.xu, src.yu, src.yw,
+        src.gx, src.gy, src.ymask, src.scal,
+        center_xtx=cfg.center_X,
+        center_xty=cfg.center_X or cfg.center_Y,
+        scale_x=cfg.scale_X, scale_y=cfg.scale_Y,
+        with_y=with_y, resolution=cfg.resolution,
+    )
+    return np.asarray(df_to_f64(pair[:, 0], pair[:, 1]))
+
+
+def _xla_reference(cfg, st, with_y):
+    return B.training_matrices_batched(
+        cfg, st, IDX, None, return_XTX=True, return_XTY=with_y, impl="xla"
+    )[0]
+
+
+@pytest.mark.parametrize("flags", [
+    (True, True, True, True), (False, False, False, False),
+    (True, False, False, False), (False, True, False, False),
+    (False, False, True, False), (False, False, False, True),
+    (True, True, False, False), (False, False, True, True),
+    (True, False, False, True), (False, True, True, False),
+])
+@pytest.mark.parametrize("use_w", [True, False])
+def test_loocv_kernel_math_lattice(flags, use_w):
+    """Kernel math (eager twin) vs the XLA engine across the flag lattice."""
+    cfg = CVConfig(*flags, ddof=1, dtype=np.float64)
+    w = W_ALL if use_w else None
+    for with_y in (True, False):
+        st = fit(cfg, X_ALL, Y_ALL if with_y else None, w)
+        assert B.loocv_single_tile_ok(cfg, st, True, with_y)
+        got = _run_reference(cfg, st, with_y)
+        ref = _xla_reference(cfg, st, with_y)
+        if with_y:
+            rx, ry = ref
+            assert_allclose(got[:, :K, :K], np.asarray(rx), atol=1e-8)
+            assert_allclose(got[:, :K, K:K + M], np.asarray(ry), atol=1e-8)
+        else:
+            assert_allclose(got[:, :K, :K], np.asarray(ref), atol=1e-8)
+
+
+def test_loocv_kernel_interpret_wiring():
+    """Pallas wiring (index maps, layouts) via interpret mode.
+
+    Loose tolerance: interpret's FMA/excess precision costs ~ulp(out) f32;
+    layout bugs would be orders of magnitude larger.
+    """
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    st = fit(cfg, X_ALL, Y_ALL, W_ALL)
+    src = B.prepare_loocv_sources(cfg, st, IDX, return_XTX=True,
+                                  return_XTY=True)
+    pair = B.loocv_from_sources(cfg, src, jnp.asarray(IDX[:, 0], jnp.int32),
+                                return_XTY=True, interpret=True)
+    got = np.asarray(df_to_f64(pair[:, 0], pair[:, 1]))
+    ref = _run_reference(cfg, st, True)
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(got - ref)) < 1e-5 * max(scale, 1.0)
+
+
+def test_loocv_gate():
+    """Geometry gate: rejects wide-K and XTY-only shapes."""
+    cfg = CVConfig(dtype=np.float64)
+    st = fit(cfg, X_ALL, Y_ALL, W_ALL)
+    assert B.loocv_single_tile_ok(cfg, st, True, True)
+    assert not B.loocv_single_tile_ok(cfg, st, False, True)  # XTY-only
+    cfg32 = CVConfig(dtype=np.float32)
+    st32 = fit(cfg32, X_ALL.astype(np.float32), Y_ALL.astype(np.float32))
+    assert not B.loocv_single_tile_ok(cfg32, st32, True, True)  # f32 engine
+    mid = fit(cfg, rng.normal(size=(40, 600)), None, None)
+    # K=600 -> kp == cp == 640 <= 1024 for XTX-only: eligible.
+    assert B.loocv_single_tile_ok(cfg, mid, True, False)
+    wide = fit(cfg, rng.normal(size=(40, 1100)), None, None)
+    assert not B.loocv_single_tile_ok(cfg, wide, True, False)  # tile > 1024
+
+
+def test_df64_recip_sqrt_eager():
+    """New double-float primitives: ~2^-45 relative accuracy (eager)."""
+    vals = np.abs(rng.normal(size=4096)) * 10.0 ** rng.integers(-6, 6, 4096)
+    pair = df_from_f64(jnp.asarray(vals))
+    rh, rl = df_recip(*pair)
+    rel = np.abs(np.asarray(df_to_f64(rh, rl)) - 1.0 / vals) * np.abs(vals)
+    assert rel.max() < 2.0 ** -44
+    sh, sl = df_sqrt(*pair)
+    rel = np.abs(np.asarray(df_to_f64(sh, sl)) - np.sqrt(vals)) / np.sqrt(vals)
+    assert rel.max() < 2.0 ** -44
+    zh, zl = df_sqrt(jnp.float32(0.0), jnp.float32(0.0))
+    assert float(zh) == 0.0 and float(zl) == 0.0
