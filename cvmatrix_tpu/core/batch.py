@@ -631,14 +631,30 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
     # the product directly in kernel layout — padding the (Kp, Cp) product
     # afterwards would materialise a multi-GB scatter at genomics-wide K.
     n_l = idx.shape[1]
-    xvp = jnp.zeros((f_folds, n_l, kp), f64).at[:, :, :k].set(
+    from ..ops.precise import _use_exact, row_slice_operands
+
+    # Fused path: slice stacks feed ONE kernel doing the int8 MXU products,
+    # group recombination AND the epilogue — the (F, Kp, Cp) product pair
+    # never round-trips HBM. Single square tile, bounded row count (VMEM).
+    use_fused = (
+        kp == cp and kp <= 512 and n_l <= 1024
+        and _use_exact(config.matmul_mode, jnp.float64)
+    )
+    rows = _round_up(n_l, 32) if use_fused else n_l
+    xvp = jnp.zeros((f_folds, rows, kp), f64).at[:, :n_l, :k].set(
         blocks.Xv_w.astype(f64)
     )
-    m2p = jnp.zeros((f_folds, n_l, cp), f64).at[:, :, :c].set(m2.astype(f64))
-    prod64 = jax.vmap(
-        lambda a, b: contract(a, b, mode=config.matmul_mode)
-    )(xvp, m2p)
-    prod_hi, prod_lo = df_from_f64(prod64)
+    m2p = jnp.zeros((f_folds, rows, cp), f64).at[:, :n_l, :c].set(
+        m2.astype(f64)
+    )
+    if use_fused:
+        sa, pa = jax.vmap(row_slice_operands)(xvp)
+        sb, pb = jax.vmap(row_slice_operands)(m2p)
+    else:
+        prod64 = jax.vmap(
+            lambda a, b: contract(a, b, mode=config.matmul_mode)
+        )(xvp, m2p)
+        prod_hi, prod_lo = df_from_f64(prod64)
 
     kvec = jnp.zeros((f_folds, 2, 2, kp), jnp.float32)
     cvec = jnp.zeros((f_folds, 2, 2, cp), jnp.float32)
@@ -686,10 +702,16 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
         total_planes = _total_planes(state, return_XTX, return_XTY, kp, cp,
                                      presplit=False)
 
-    pair_out = kernels.fused_epilogue_df64(
-        total_planes, prod_hi, prod_lo, kvec, cvec,
-        center=center, scale=scale, block_k=blk, block_c=blk,
-    )
+    if use_fused:
+        pair_out = kernels.fused_ozaki_downdate_df64(
+            total_planes, sa, sb, pa, pb, kvec, cvec,
+            center=center, scale=scale,
+        )
+    else:
+        pair_out = kernels.fused_epilogue_df64(
+            total_planes, prod_hi, prod_lo, kvec, cvec,
+            center=center, scale=scale, block_k=blk, block_c=blk,
+        )
     return pair_out, stats, k, c
 
 

@@ -48,6 +48,7 @@ __all__ = [
     "fused_downdate_df64_packed",
     "fused_epilogue_df64",
     "fused_loocv_df64",
+    "fused_ozaki_downdate_df64",
 ]
 
 
@@ -429,20 +430,15 @@ def fused_downdate_df64_packed(
 # --------------------------------------------------------------------------- #
 
 
-def _df64_epilogue_kernel(total_ref, prod_h_ref, prod_l_ref, kv_ref, cv_ref,
-                          out_ref, *, center: bool, scale: bool):
-    """out = (total - prod - p (x) q) (.) (i1 (x) i2), all double-float.
+def _df64_ref_epilogue_math(total_ref, d_h, d_l, kv_ref, cv_ref, *,
+                            center: bool, scale: bool):
+    """Reference-form epilogue on values: ``(total - d - p (x) q) (.) (i1 (x) i2)``.
 
-    For folds with many validation rows the rank-L downdate product is far
-    cheaper on the MXU (exact int8-slice contraction,
-    :func:`cvmatrix_tpu.ops.precise.ozaki_contract`) than as an L-step VPU
-    accumulation; this kernel then applies the remaining one-pass epilogue.
     Note the center term sits INSIDE the scale here (reference form,
     ``cvmatrix/cvmatrix.py:1001-1009``) so p/q are the unscaled
-    ``sum_w_train * mean1`` / ``mean2`` vectors.
+    ``sum_w_train * mean1`` / ``mean2`` vectors — unlike the factor form of
+    :func:`_df64_tile_epilogue`.
     """
-    d_h = prod_h_ref[0]
-    d_l = prod_l_ref[0]
     if center:
         p_h = kv_ref[0, 0, 0][:, None]
         p_lo = kv_ref[0, 0, 1][:, None]
@@ -476,7 +472,22 @@ def _df64_epilogue_kernel(total_ref, prod_h_ref, prod_l_ref, kv_ref, cv_ref,
         c_h = tsh
         c_l = tse + (t2h * i2_lo + t2l * i2_h)
 
-    oh, ol = quick_two_sum(c_h, c_l)
+    return quick_two_sum(c_h, c_l)
+
+
+def _df64_epilogue_kernel(total_ref, prod_h_ref, prod_l_ref, kv_ref, cv_ref,
+                          out_ref, *, center: bool, scale: bool):
+    """out = (total - prod - p (x) q) (.) (i1 (x) i2), all double-float.
+
+    For folds with many validation rows the rank-L downdate product is far
+    cheaper on the MXU (exact int8-slice contraction,
+    :func:`cvmatrix_tpu.ops.precise.ozaki_contract`) than as an L-step VPU
+    accumulation; this kernel then applies the remaining one-pass epilogue.
+    """
+    oh, ol = _df64_ref_epilogue_math(
+        total_ref, prod_h_ref[0], prod_l_ref[0], kv_ref, cv_ref,
+        center=center, scale=scale,
+    )
     out_ref[0, 0] = oh
     out_ref[0, 1] = ol
 
@@ -871,3 +882,141 @@ def fused_loocv_df64(
         ),
         interpret=interpret,
     )(idx, total4, xw, xu, yu, yw, gx, gy, ymask, scal)
+
+
+# --------------------------------------------------------------------------- #
+# Fused Ozaki downdate: int8 slice matmuls + recombination + epilogue         #
+# --------------------------------------------------------------------------- #
+
+
+def _ozaki_downdate_kernel(total_ref, sa_ref, sb_ref, pa_ref, pb_ref,
+                           kv_ref, cv_ref, out_ref, *, center: bool,
+                           scale: bool, n_slices: int, exact_groups: bool):
+    """One fold's exact downdate product AND epilogue, entirely on-chip.
+
+    The Ozaki-scheme contraction (see :mod:`cvmatrix_tpu.ops.precise`) runs
+    its int8 x int8 -> int32 slice products on the MXU *inside* the kernel
+    and recombines the same-exponent groups into a double-float pair on the
+    VPU — the (F, Kp, Cp) product never round-trips HBM, which the separate
+    contract-then-epilogue pipeline pays twice for. With ``exact_groups``
+    (group sums < 2^24, true for folds up to ~400 rows) each int32 group sum
+    converts to a SINGLE exact f32 — no pair conversion at all.
+
+    ``pa``/``pb`` carry each side's per-column scale ``2^e`` as TWO exact
+    power-of-two f32 factors (their product can exceed the f32 range, so
+    they multiply the accumulator sequentially — every step exact).
+    """
+    s_groups = n_slices
+    acc_h = None
+    acc_l = None
+    for s in range(s_groups):
+        d32 = jax.lax.dot_general(
+            sa_ref[0, 0], sb_ref[0, s],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        for i in range(1, s + 1):
+            d32 = d32 + jax.lax.dot_general(
+                sa_ref[0, i], sb_ref[0, s - i],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        cs = 2.0 ** (-6.0 * (s + 2))
+        g_h = d32.astype(jnp.float32)
+        if exact_groups:
+            g_l = None
+        else:
+            g_l = (d32 - g_h.astype(jnp.int32)).astype(jnp.float32)
+        if acc_h is None:
+            acc_h = g_h * cs
+            acc_l = jnp.zeros_like(g_h) if g_l is None else g_l * cs
+        else:
+            t, e = two_sum(acc_h, g_h * cs)
+            acc_h = t
+            acc_l = acc_l + (e if g_l is None else e + g_l * cs)
+
+    # Column scales 2^(ea + eb): four sequential exact power-of-two factors.
+    pa1 = pa_ref[0, 0][:, None]
+    pa2 = pa_ref[0, 1][:, None]
+    pb1 = pb_ref[0, 0][None, :]
+    pb2 = pb_ref[0, 1][None, :]
+    d_h = acc_h * pa1 * pa2 * pb1 * pb2
+    d_l = acc_l * pa1 * pa2 * pb1 * pb2
+
+    oh, ol = _df64_ref_epilogue_math(total_ref, d_h, d_l, kv_ref, cv_ref,
+                                     center=center, scale=scale)
+    out_ref[0, 0] = oh
+    out_ref[0, 1] = ol
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("center", "scale", "interpret"),
+)
+def fused_ozaki_downdate_df64(
+    total_planes: jax.Array,  # (2, KP, CP) total pair planes
+    sa: jax.Array,            # (F, S, Lp, KP) int8 mantissa slices, A side
+    sb: jax.Array,            # (F, S, Lp, CP) int8 mantissa slices, B side
+    pa: jax.Array,            # (F, 2, KP) f32 exact 2^e half-factors, A side
+    pb: jax.Array,            # (F, 2, CP) f32 half-factors, B side
+    kvec: jax.Array,          # (F, 2, 2, KP): [p, i1] pairs (unscaled p)
+    cvec: jax.Array,          # (F, 2, 2, CP): [q, i2] pairs
+    *,
+    center: bool,
+    scale: bool,
+    interpret: bool = False,
+) -> jax.Array:
+    """Large-fold downdate + epilogue -> (F, 2, KP, CP) double-float pairs.
+
+    Replaces [vmapped ozaki_contract -> pair split -> fused_epilogue_df64]
+    with ONE kernel per fold batch. Requires a single square tile
+    (KP == CP); the caller falls back to the split pipeline otherwise.
+    """
+    f_folds, n_slices, lp, kp = sa.shape
+    cp = sb.shape[3]
+    if kp != cp:
+        raise ValueError(f"requires KP == CP, got ({kp},{cp})")
+    # int32 group sums are exact below 2^31; below 2^24 they are even exact
+    # in a single f32 (slice values in [-64, 64] -> |sum| <= n*Lp*2^12).
+    if n_slices * lp * 4096 >= 2 ** 31:
+        raise ValueError("fold rows too large for exact int32 group sums")
+    exact_groups = n_slices * lp * 4096 < 2 ** 24
+    c3 = lambda f: (f * 0, f * 0, f * 0)  # noqa: E731
+    grid = (f_folds,)
+    return pl.pallas_call(
+        functools.partial(
+            _ozaki_downdate_kernel, center=center, scale=scale,
+            n_slices=n_slices, exact_groups=exact_groups,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, kp, cp), c3),
+            pl.BlockSpec((1, n_slices, lp, kp),
+                         lambda f: (f, f * 0, f * 0, f * 0)),
+            pl.BlockSpec((1, n_slices, lp, cp),
+                         lambda f: (f, f * 0, f * 0, f * 0)),
+            pl.BlockSpec((1, 2, kp), lambda f: (f, f * 0, f * 0)),
+            pl.BlockSpec((1, 2, cp), lambda f: (f, f * 0, f * 0)),
+            pl.BlockSpec((1, 2, 2, kp), lambda f: (f, f * 0, f * 0, f * 0)),
+            pl.BlockSpec((1, 2, 2, cp), lambda f: (f, f * 0, f * 0, f * 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, kp, cp),
+                               lambda f: (f, f * 0, f * 0, f * 0)),
+        out_shape=jax.ShapeDtypeStruct((f_folds, 2, kp, cp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(
+                f_folds * kp * cp
+                * (n_slices * (n_slices + 1) * lp  # int8 MACs
+                   + 10 * n_slices + 50)           # recombine + epilogue
+            ),
+            bytes_accessed=(
+                f_folds * kp * cp * 8 + kp * cp * 8
+                + f_folds * n_slices * lp * (kp + cp)
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(total_planes, sa, sb, pa, pb, kvec, cvec)

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["contract", "ozaki_contract", "outer_accumulate_contract"]
+__all__ = ["contract", "ozaki_contract", "outer_accumulate_contract",
+           "row_slice_operands"]
 
 # Bits per mantissa slice. Slice values lie in [-2^T_BITS, 2^T_BITS] and fit
 # int8; a product of two slices fits 2*T_BITS+1 bits, leaving int32 headroom
@@ -256,3 +257,24 @@ def contract(
         (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+def row_slice_operands(x: jax.Array, n_slices: int = _N_SLICES):
+    """Mantissa slices + exact 2^e half-factors for one fold's row block.
+
+    ``x``: (L, K) float64 (rows already padded as the caller requires).
+    Returns ``(slices (S, L, K) int8, pows (2, K) f32)`` with
+    ``pows[0] * pows[1] == 2^e`` exactly (two factors because a single one
+    can exceed the f32 exponent range). Feeds
+    :func:`cvmatrix_tpu.ops.kernels.fused_ozaki_downdate_df64`.
+    """
+    e = _column_scale(x)
+    xs = x * _pow2(-e)[None, :]
+    sl = jnp.stack(_mantissa_slices(xs, n_slices))
+    h1 = jnp.clip(e, -127, 127)
+    h2 = e - h1
+    pows = jnp.stack([
+        jnp.ldexp(jnp.float32(1.0), h1),
+        jnp.ldexp(jnp.float32(1.0), h2),
+    ])
+    return sl, pows
