@@ -233,12 +233,21 @@ def sharded_training_matrices(
     mesh: Mesh,
     return_XTX: bool = True,
     return_XTY: bool = True,
+    trim_padding: bool = True,
 ):
     """All folds' training matrices on a mesh: gather, then fold-sharded math.
 
     ``idx_batch`` (F, L): per-fold validation indices (padded; pass
     ``mask_batch`` for unequal fold sizes). Outputs are sharded over folds
     (leading axis) across the mesh.
+
+    The fold axis is padded internally to a multiple of the mesh size.
+    ``trim_padding=True`` (default) slices the duplicates off — convenient,
+    but a non-multiple fold count can no longer be evenly fold-sharded, so
+    XLA reshards (gathers) the trimmed result. Pass ``trim_padding=False``
+    to keep the padded, still-sharded output and receive
+    ``(results, n_folds)``: consume ``results[:n_folds]`` shard-locally (the
+    trailing entries are duplicates of fold 0).
     """
     if return_XTY and state.Y is None:
         raise ValueError("Response variables `Y` are not provided.")
@@ -297,6 +306,8 @@ def sharded_training_matrices(
         blocks, jax.tree.map(lambda _: NamedSharding(mesh, P(ROWS)), blocks)
     )
     out = jax.jit(batched, out_shardings=fold_sharded)(globals_only, blocks)
+    if not trim_padding:
+        return out, n_folds
     if pad_f:
         out = jax.tree.map(lambda a: a[:n_folds], out)
     return out

@@ -115,3 +115,20 @@ def test_multihost_single_process_degenerates(mesh):
     st = fit(cfg, X, Y, w)
     assert_allclose(np.asarray(st_mh.XTX), np.asarray(st.XTX), atol=1e-10)
     assert_allclose(np.asarray(st_mh.XTY), np.asarray(st.XTY), atol=1e-10)
+
+def test_sharded_untrimmed_keeps_fold_sharding(mesh):
+    """trim_padding=False: padded results stay evenly fold-sharded."""
+    cfg = CVConfig(True, True, True, True, 1)
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, WEIGHTS)
+    idx = np.arange(11)[:, None]  # 11 folds on an 8-device mesh -> pad to 16
+    (trimmed, _), _ = sharded_training_matrices(cfg, st, idx, mesh=mesh)
+    ((xtx_p, xty_p), _), n = sharded_training_matrices(
+        cfg, st, idx, mesh=mesh, trim_padding=False
+    )
+    assert n == 11 and xtx_p.shape[0] == 16
+    # still sharded over folds: each device holds 16/8 = 2 folds
+    shard_shapes = {s.data.shape[0] for s in xtx_p.addressable_shards}
+    assert shard_shapes == {2}
+    assert_allclose(np.asarray(xtx_p[:n]), np.asarray(trimmed), atol=0)
+    # padded tail duplicates fold 0
+    assert_allclose(np.asarray(xtx_p[n]), np.asarray(xtx_p[0]), atol=0)
