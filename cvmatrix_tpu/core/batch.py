@@ -44,6 +44,7 @@ __all__ = [
     "loocv_single_tile_ok",
     "prepare_fold_operands",
     "prepare_loocv_sources",
+    "smallfold_from_sources",
     "training_matrices_batched",
 ]
 
@@ -316,6 +317,7 @@ class LoocvSources(NamedTuple):
     gy: jnp.ndarray
     ymask: jnp.ndarray
     scal: jnp.ndarray
+    mrow: jnp.ndarray
 
     @property
     def kp(self) -> int:
@@ -364,9 +366,11 @@ def prepare_loocv_sources(
     config: CVConfig,
     state: FitState,
     idx_batch,
+    mask_batch=None,
     *,
     return_XTX: bool = True,
     return_XTY: bool = True,
+    presplit=None,
 ) -> LoocvSources:
     """Build the dataset-wide operands for :func:`fused_loocv_df64`.
 
@@ -380,7 +384,11 @@ def prepare_loocv_sources(
     """
     idx = jnp.asarray(idx_batch)
     rows = idx.reshape(-1).astype(jnp.int32)
-    f_folds = rows.shape[0]
+    f_folds, n_l = idx.shape[0], (idx.shape[1] if idx.ndim > 1 else 1)
+    mask = (
+        None if mask_batch is None
+        else jnp.asarray(mask_batch, jnp.float64).reshape(f_folds, n_l)
+    )
     k = state.K
     m = state.M if return_XTY else 0
     c = k + (m or 0) if return_XTY else k
@@ -425,21 +433,38 @@ def prepare_loocv_sources(
     scal = jnp.zeros((f_folds, 1, 128), jnp.float32)
     if need_x_mean or need_y_stats:
         if weighted:
-            wv = state.weights[rows, 0].astype(f64)
-            sw_t = state.sum_w.astype(f64) - wv
-            nnz_t = state.num_nonzero_w.astype(f64) - (wv != 0)
+            wv = state.weights[rows, 0].astype(f64).reshape(f_folds, n_l)
+            if mask is not None:
+                wv = wv * mask
+            sw_t = state.sum_w.astype(f64) - wv.sum(axis=1)
+            nnz_t = state.num_nonzero_w.astype(f64) - jnp.count_nonzero(
+                wv, axis=1
+            )
+        elif mask is not None:
+            sw_t = state.sum_w.astype(f64) - mask.sum(axis=1)
+            nnz_t = sw_t
         else:
-            sw_t = jnp.full((f_folds,), state.N - 1, f64)
+            sw_t = jnp.full((f_folds,), state.N - n_l, f64)
             nnz_t = sw_t
         divisor = (nnz_t - config.ddof) * sw_t / nnz_t
         for col, val in ((0, sw_t), (2, 1.0 / sw_t), (4, 1.0 / divisor)):
             hi, lo = df_from_f64(val)
             scal = scal.at[:, 0, col].set(hi).at[:, 0, col + 1].set(lo)
+    if mask is None:
+        mrow = jnp.zeros((1, 1, 1, 128), jnp.float32)
+    else:
+        mrow = jnp.zeros((f_folds, n_l, 1, 128), jnp.float32).at[
+            :, :, 0, 0
+        ].set(mask.astype(jnp.float32))
 
     scale = config.scale_X or (with_y and config.scale_Y)
+    if presplit is None:
+        # The factor-form L == 1 kernel reads a presplit total when scaling;
+        # the reference-form small-fold kernel splits in-register instead.
+        presplit = scale and n_l == 1
     total4 = _total_planes(state, return_XTX, return_XTY, kp, cp,
-                           presplit=scale)
-    return LoocvSources(total4, xw, xu, yu, yw, gx, gy, ymask, scal)
+                           presplit=presplit)
+    return LoocvSources(total4, xw, xu, yu, yw, gx, gy, ymask, scal, mrow)
 
 
 def loocv_from_sources(config: CVConfig, src: LoocvSources,
@@ -454,6 +479,27 @@ def loocv_from_sources(config: CVConfig, src: LoocvSources,
         scale_x=config.scale_X,
         scale_y=config.scale_Y,
         with_y=return_XTY,
+        resolution=config.resolution,
+        interpret=interpret,
+    )
+
+
+def smallfold_from_sources(config: CVConfig, src: LoocvSources, rows,
+                           scal_slice=None, mrow_slice=None, *, n_l: int,
+                           return_XTY: bool, has_mask: bool,
+                           interpret: bool = False):
+    """Run the general small-fold kernel on (a slice of) prepared sources."""
+    return kernels.fused_smallfold_df64(
+        rows, src.total4, src.xw, src.xu, src.yu, src.yw, src.gx, src.gy,
+        src.ymask, src.scal if scal_slice is None else scal_slice,
+        src.mrow if mrow_slice is None else mrow_slice,
+        n_l=n_l,
+        center_xtx=config.center_X,
+        center_xty=config.center_X or config.center_Y,
+        scale_x=config.scale_X,
+        scale_y=config.scale_Y,
+        with_y=return_XTY,
+        has_mask=has_mask,
         resolution=config.resolution,
         interpret=interpret,
     )

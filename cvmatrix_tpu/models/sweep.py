@@ -303,7 +303,11 @@ def _materialize_sweep_impl(
     is_f64 = np.dtype(config.dtype).itemsize == 8
     # All-in-one LOOCV kernel: gathers, statistics, downdate and epilogue in
     # ONE Pallas pass per fold — no hoisted operand streams at all. Applies
-    # to single-row folds whose [X | Y] output fits one square tile.
+    # to single-row folds whose [X | Y] output fits one square tile. (The
+    # general small-L sibling, fused_smallfold_df64, measured ~13% SLOWER
+    # than the hoisted-prep packed kernel at L=4-10 on a v5e — its
+    # reference-form epilogue costs more per element than the prep it saves
+    # — so L > 1 stays on the packed path.)
     if (
         use_packed and is_f64 and mask is None and idx.shape[1] == 1
         and loocv_single_tile_ok(config, state, return_XTX, return_XTY)

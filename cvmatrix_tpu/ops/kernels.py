@@ -432,18 +432,28 @@ def fused_downdate_df64_packed(
 
 def _df64_ref_epilogue_math(total_ref, d_h, d_l, kv_ref, cv_ref, *,
                             center: bool, scale: bool):
+    """Reference-form epilogue reading p/q/i1/i2 from packed kv/cv refs."""
+    pq = i12 = None
+    if center:
+        pq = (kv_ref[0, 0, 0][:, None], kv_ref[0, 0, 1][:, None],
+              cv_ref[0, 0, 0][None, :], cv_ref[0, 0, 1][None, :])
+    if scale:
+        i12 = (kv_ref[0, 1, 0][:, None], kv_ref[0, 1, 1][:, None],
+               cv_ref[0, 1, 0][None, :], cv_ref[0, 1, 1][None, :])
+    return _df64_ref_epilogue_vals(total_ref, d_h, d_l, pq, i12)
+
+
+def _df64_ref_epilogue_vals(total_ref, d_h, d_l, pq, i12):
     """Reference-form epilogue on values: ``(total - d - p (x) q) (.) (i1 (x) i2)``.
 
     Note the center term sits INSIDE the scale here (reference form,
     ``cvmatrix/cvmatrix.py:1001-1009``) so p/q are the unscaled
     ``sum_w_train * mean1`` / ``mean2`` vectors — unlike the factor form of
-    :func:`_df64_tile_epilogue`.
+    :func:`_df64_tile_epilogue`. ``pq``/``i12`` are
+    ``(k_hi, k_lo, c_hi, c_lo)`` column/row vector tuples or ``None``.
     """
-    if center:
-        p_h = kv_ref[0, 0, 0][:, None]
-        p_lo = kv_ref[0, 0, 1][:, None]
-        q_h = cv_ref[0, 0, 0][None, :]
-        q_lo = cv_ref[0, 0, 1][None, :]
+    if pq is not None:
+        p_h, p_lo, q_h, q_lo = pq
         phh, phl = split(p_h)
         qhh, qhl = split(q_h)
         ch, ce = df_mul_presplit(p_h, p_lo, phh, phl, q_h, q_lo, qhh, qhl)
@@ -457,11 +467,8 @@ def _df64_ref_epilogue_math(total_ref, d_h, d_l, kv_ref, cv_ref, *,
     oh, oe = two_sum(t_h, -d_h)
     c_h, c_l = oh, oe + (t_lo - d_l)
 
-    if scale:
-        i1_h = kv_ref[0, 1, 0][:, None]
-        i1_lo = kv_ref[0, 1, 1][:, None]
-        i2_h = cv_ref[0, 1, 0][None, :]
-        i2_lo = cv_ref[0, 1, 1][None, :]
+    if i12 is not None:
+        i1_h, i1_lo, i2_h, i2_lo = i12
         i1hh, i1hl = split(i1_h)
         i2hh, i2hl = split(i2_h)
         chh, chl = split(c_h)
@@ -648,6 +655,36 @@ def fused_downdate_f32_packed(
 # --------------------------------------------------------------------------- #
 
 
+def _df64_side_stats_from_sums(sum_rows, sq_rows, g, sw, rsw, rdv,
+                               need_mean, need_std, *, resolution):
+    """Downdated mean and clamped reciprocal std for one side, double-float.
+
+    ``sum_rows``/``sq_rows``: pair sums of the fold's (weighted) validation
+    rows and their squares; ``g``: (4, Kp) global [sum, sum_sq] pairs. The
+    same formulas as :func:`cvmatrix_tpu.core.fold._train_std` (reference
+    ``cvmatrix/cvmatrix.py:1081-1129``).
+    """
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    m = r = None
+    if need_mean or need_std:
+        st = df_sub(g[0:1, :], g[1:2, :], *sum_rows)   # sum_train pair
+        m = df_mul(st[0], st[1], *rsw)                 # mean = sum * rsw
+    if need_std:
+        ss = df_sub(g[2:3, :], g[3:4, :], *sq_rows)
+        t1 = df_mul(m[0], m[1], st[0], st[1])
+        t1 = (-2.0 * t1[0], -2.0 * t1[1])              # exact scale by -2
+        m2 = df_mul(m[0], m[1], m[0], m[1])
+        t2 = df_mul(m2[0], m2[1], *sw)
+        v = df_add(*df_add(*t1, *t2), *ss)
+        v = df_mul(v[0], v[1], *rdv)
+        sd = df_sqrt(v[0], v[1])                       # var <= 0 -> 0
+        clamp = sd[0] <= jnp.float32(resolution)
+        rr = df_recip(sd[0], sd[1])
+        r = (jnp.where(clamp, one, rr[0]), jnp.where(clamp, zero, rr[1]))
+    return m, r
+
+
 def _loocv_fold_math(total, xw_h, xw_l, xu_h, xu_l, yu_h, yu_l, yw_h, yw_l,
                      gx, gy, ymask, scal_row, *, center_xtx: bool,
                      center_xty: bool, scale_x: bool, scale_y: bool,
@@ -674,29 +711,12 @@ def _loocv_fold_math(total, xw_h, xw_l, xu_h, xu_l, yu_h, yu_l, yw_h, yw_l,
     need_y_mean = with_y and (center_xty or scale_y)
 
     def side_stats(w_h, w_l, u_h, u_l, g, need_mean, need_std):
-        """Downdated mean and clamped reciprocal std for one side.
-
-        The same formulas as :func:`cvmatrix_tpu.core.fold._train_std`
-        (reference ``cvmatrix/cvmatrix.py:1081-1129``), in double-float.
-        """
-        m = r = None
-        if need_mean or need_std:
-            st = df_sub(g[0:1, :], g[1:2, :], w_h, w_l)  # sum_train pair
-            m = df_mul(st[0], st[1], *rsw)               # mean = sum * rsw
-        if need_std:
-            sq = df_mul(w_h, w_l, u_h, u_l)              # squared val row
-            ss = df_sub(g[2:3, :], g[3:4, :], sq[0], sq[1])
-            t1 = df_mul(m[0], m[1], st[0], st[1])
-            t1 = (-2.0 * t1[0], -2.0 * t1[1])            # exact scale by -2
-            m2 = df_mul(m[0], m[1], m[0], m[1])
-            t2 = df_mul(m2[0], m2[1], *sw)
-            v = df_add(*df_add(*t1, *t2), *ss)
-            v = df_mul(v[0], v[1], *rdv)
-            sd = df_sqrt(v[0], v[1])                     # var <= 0 -> 0
-            clamp = sd[0] <= jnp.float32(resolution)
-            rr = df_recip(sd[0], sd[1])
-            r = (jnp.where(clamp, one, rr[0]), jnp.where(clamp, zero, rr[1]))
-        return m, r
+        """Stats from one validation row (sq row = w-row (.) u-row)."""
+        sq = df_mul(w_h, w_l, u_h, u_l) if need_std else (None, None)
+        return _df64_side_stats_from_sums(
+            (w_h, w_l), sq, g, sw, rsw, rdv, need_mean, need_std,
+            resolution=resolution,
+        )
 
     mX, r1 = side_stats(xw_h, xw_l, xu_h, xu_l, gx, need_x_mean, scale_x)
     if with_y:
@@ -1020,3 +1040,343 @@ def fused_ozaki_downdate_df64(
         ),
         interpret=interpret,
     )(total_planes, sa, sb, pa, pb, kvec, cvec)
+
+
+# --------------------------------------------------------------------------- #
+# Small-fold all-in-one kernel: L validation rows, gather + stats + epilogue  #
+# --------------------------------------------------------------------------- #
+
+
+def _smallfold_row_terms(xw, xu, yu, yw, m, *, with_y, scale_x, scale_y,
+                         need_x_mean, need_y_mean):
+    """One validation row's contributions (pair tuples of (1, Kp) vectors).
+
+    Returns ``(prod, xwm, sqx, ywm, sqy)``: the unscaled downdate product
+    pair for this row (reference operand form — the row mask multiplies only
+    the weighted side, ``cvmatrix/cvmatrix.py:898-941`` semantics), the
+    masked weighted row, and the squared-row terms for the std sums. Unused
+    terms come back ``None``.
+    """
+    if m is None:
+        xwm = xw
+    else:
+        xwm = (xw[0] * m, xw[1] * m)
+    v = df_add(*xu, *yu) if with_y else xu
+    uhh, uhl = split(xwm[0][0][:, None])
+    vhh, vhl = split(v[0][0][None, :])
+    prod = df_mul_presplit(
+        xwm[0][0][:, None], xwm[1][0][:, None], uhh, uhl,
+        v[0][0][None, :], v[1][0][None, :], vhh, vhl,
+    )
+    sqx = df_mul(*xwm, *xu) if scale_x else None
+    ywm = sqy = None
+    if with_y and (need_y_mean or scale_y):
+        if m is None:
+            ywm = yw
+        else:
+            ywm = (yw[0] * m, yw[1] * m)
+        if scale_y:
+            sqy = df_mul(*ywm, *yu)
+    return prod, (xwm if need_x_mean or scale_x else None), sqx, ywm, sqy
+
+
+def _smallfold_finalize(total_ref, acc, sk, sc, gx, gy, ymask, scal_row, *,
+                        center_xtx, center_xty, scale_x, scale_y, with_y,
+                        resolution):
+    """Stats from accumulated row sums, then the reference-form epilogue.
+
+    ``acc``: accumulated product pair; ``sk``: (4, Kp) [sum xwm, sum sqx]
+    pairs; ``sc``: (4, Cp) [sum ywm, sum sqy] pairs (Y-side, shifted
+    layout).
+    """
+    one = jnp.float32(1.0)
+    sw = (scal_row[0], scal_row[1])
+    rsw = (scal_row[2], scal_row[3])
+    rdv = (scal_row[4], scal_row[5])
+    center = center_xtx or (with_y and center_xty)
+    scale = scale_x or (with_y and scale_y)
+    need_x_mean = center or scale_x
+    need_y_mean = with_y and (center_xty or scale_y)
+
+    mX = r1 = mY = r2 = None
+    if need_x_mean or scale_x:
+        mX, r1 = _df64_side_stats_from_sums(
+            (sk[0:1, :], sk[1:2, :]), (sk[2:3, :], sk[3:4, :]), gx,
+            sw, rsw, rdv, need_x_mean, scale_x, resolution=resolution,
+        )
+    if need_y_mean or (with_y and scale_y):
+        mY, r2 = _df64_side_stats_from_sums(
+            (sc[0:1, :], sc[1:2, :]), (sc[2:3, :], sc[3:4, :]), gy,
+            sw, rsw, rdv, need_y_mean, with_y and scale_y,
+            resolution=resolution,
+        )
+
+    pq = None
+    if center:
+        p = df_mul(mX[0], mX[1], *sw)
+        qx = mX if center_xtx else (jnp.zeros_like(mX[0]),
+                                    jnp.zeros_like(mX[1]))
+        if with_y and center_xty:
+            q = df_add(*qx, *mY)
+        else:
+            q = qx
+        pq = (p[0][0][:, None], p[1][0][:, None],
+              q[0][0][None, :], q[1][0][None, :])
+
+    i12 = None
+    if scale:
+        zeros = jnp.zeros_like(gx[0:1, :])
+        i1 = r1 if scale_x else (jnp.ones_like(gx[0:1, :]), zeros)
+        ri2y = r2 if (with_y and scale_y) else i1
+        i2 = (jnp.where(ymask > 0, ri2y[0], i1[0]),
+              jnp.where(ymask > 0, ri2y[1], i1[1]))
+        i12 = (i1[0][0][:, None], i1[1][0][:, None],
+               i2[0][0][None, :], i2[1][0][None, :])
+
+    return _df64_ref_epilogue_vals(total_ref, acc[0], acc[1], pq, i12)
+
+
+def _smallfold_kernel(idx_ref, total_ref, xw_ref, xu_ref, yu_ref, yw_ref,
+                      gx_ref, gy_ref, ymask_ref, scal_ref, mrow_ref,
+                      out_ref, acc_h, acc_l, sk_ref, sc_ref, *,
+                      n_l: int, has_mask: bool, with_y: bool, **flags):
+    """Grid (F, L): each step folds one gathered validation row into VMEM
+    scratch; the last row finalises stats and writes the fold's matrices."""
+    l = pl.program_id(1)
+
+    xw = (xw_ref[0, 0:1, :], xw_ref[0, 1:2, :])
+    xu = (xu_ref[0, 0:1, :], xu_ref[0, 1:2, :])
+    if with_y:
+        yu = (yu_ref[0, 0:1, :], yu_ref[0, 1:2, :])
+        yw = (yw_ref[0, 0:1, :], yw_ref[0, 1:2, :])
+    else:
+        yu = yw = (None, None)
+    m = mrow_ref[0, 0, 0, 0] if has_mask else None
+
+    center = flags["center_xtx"] or (with_y and flags["center_xty"])
+    need_x_mean = center or flags["scale_x"]
+    need_y_mean = with_y and (flags["center_xty"] or flags["scale_y"])
+    prod, xwm, sqx, ywm, sqy = _smallfold_row_terms(
+        xw, xu, yu, yw, m, with_y=with_y, scale_x=flags["scale_x"],
+        scale_y=flags["scale_y"], need_x_mean=need_x_mean,
+        need_y_mean=need_y_mean,
+    )
+
+    zk = jnp.zeros_like(xw[0])
+
+    @pl.when(l == 0)
+    def _():
+        acc_h[:] = prod[0]
+        acc_l[:] = prod[1]
+        sk_ref[0:1, :] = xwm[0] if xwm is not None else zk
+        sk_ref[1:2, :] = xwm[1] if xwm is not None else zk
+        sk_ref[2:3, :] = sqx[0] if sqx is not None else zk
+        sk_ref[3:4, :] = sqx[1] if sqx is not None else zk
+        if with_y:
+            zc = jnp.zeros_like(yu[0])
+            sc_ref[0:1, :] = ywm[0] if ywm is not None else zc
+            sc_ref[1:2, :] = ywm[1] if ywm is not None else zc
+            sc_ref[2:3, :] = sqy[0] if sqy is not None else zc
+            sc_ref[3:4, :] = sqy[1] if sqy is not None else zc
+
+    @pl.when(l > 0)
+    def _():
+        s, e = two_sum(acc_h[:], prod[0])
+        acc_h[:] = s
+        acc_l[:] = acc_l[:] + (e + prod[1])
+
+        def acc_pair(ref, row0, pair):
+            if pair is None:
+                return
+            s, e = two_sum(ref[row0:row0 + 1, :], pair[0])
+            ref[row0 + 1:row0 + 2, :] = (
+                ref[row0 + 1:row0 + 2, :] + (e + pair[1])
+            )
+            ref[row0:row0 + 1, :] = s
+
+        acc_pair(sk_ref, 0, xwm)
+        acc_pair(sk_ref, 2, sqx)
+        if with_y:
+            acc_pair(sc_ref, 0, ywm)
+            acc_pair(sc_ref, 2, sqy)
+
+    @pl.when(l == n_l - 1)
+    def _():
+        oh, ol = _smallfold_finalize(
+            total_ref, (acc_h[:], acc_l[:]), sk_ref[:], sc_ref[:],
+            gx_ref[:], gy_ref[:], ymask_ref[0:1, :], scal_ref[0, 0],
+            with_y=with_y, resolution=flags["resolution"],
+            center_xtx=flags["center_xtx"], center_xty=flags["center_xty"],
+            scale_x=flags["scale_x"], scale_y=flags["scale_y"],
+        )
+        out_ref[0, 0] = oh
+        out_ref[0, 1] = ol
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_l", "center_xtx", "center_xty", "scale_x", "scale_y",
+                     "with_y", "has_mask", "resolution", "interpret"),
+)
+def fused_smallfold_df64(
+    idx: jax.Array,     # (F * L,) int32: row indices, fold-major
+    total4: jax.Array,  # (>=2, KP, CP) total pair planes, KP == CP
+    xw: jax.Array,      # (N, 2, KP) weighted X row pairs
+    xu: jax.Array,      # (N, 2, KP) unweighted X row pairs (may alias xw)
+    yu: jax.Array,      # (N, 2, CP) Y pairs shifted to columns [K, K+M)
+    yw: jax.Array,      # (N, 2, CP) weighted-Y pairs shifted (may alias yu)
+    gx: jax.Array,      # (4, KP) global [sum_X, sum_sq_X] pairs
+    gy: jax.Array,      # (4, CP) shifted [sum_Y, sum_sq_Y] pairs
+    ymask: jax.Array,   # (1, CP) f32: 1.0 on Y columns
+    scal: jax.Array,    # (F, 1, 128) f32 per-fold scalar pairs
+    mrow: jax.Array,    # (F, L, 1, 128) f32 row masks at [..., 0] (dummy ok)
+    *,
+    n_l: int,
+    center_xtx: bool,
+    center_xty: bool,
+    scale_x: bool,
+    scale_y: bool,
+    with_y: bool,
+    has_mask: bool,
+    resolution: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """General small-fold all-in-one downdate -> (F, 2, KP, CP) pairs.
+
+    The L > 1 sibling of :func:`fused_loocv_df64`: rows stream through a
+    (F, L) grid, products and stat sums accumulate in VMEM scratch, and the
+    reference-form epilogue runs once per fold. Supports padded fold batches
+    via per-row masks (mask multiplies only the weighted side, matching
+    ``gather_val_blocks``).
+
+    Measured on a v5e (N=100k, K=500, f64, TTTT): ~13% SLOWER than the
+    hoisted-prep packed kernel at L=4-10 — the reference-form epilogue's
+    two sequential per-element double-float multiplies cost more than the
+    operand-prep passes it eliminates — so the sweep drivers do NOT route
+    through it by default; it remains available for memory-constrained
+    callers (no per-fold operand streams) and as the masked-batch variant
+    of the all-in-one design.
+    """
+    f_folds = idx.shape[0] // n_l
+    n_planes, kp, cp = total4.shape
+    if kp != cp:
+        raise ValueError(f"requires KP == CP, got ({kp},{cp})")
+    row = lambda f, l, idx_ref: (idx_ref[f * n_l + l], f * 0, f * 0)  # noqa: E731
+    c3 = lambda f, l, idx_ref: (f * 0, f * 0, f * 0)  # noqa: E731
+    c2 = lambda f, l, idx_ref: (f * 0, f * 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(f_folds, n_l),
+        in_specs=[
+            pl.BlockSpec((2, kp, cp), c3),
+            pl.BlockSpec((1, 2, kp), row),
+            pl.BlockSpec((1, 2, kp), row),
+            pl.BlockSpec((1, 2, cp), row if with_y else c3),
+            pl.BlockSpec((1, 2, cp), row if with_y else c3),
+            pl.BlockSpec((4, kp), c2),
+            pl.BlockSpec((4, cp), c2),
+            pl.BlockSpec((1, cp), c2),
+            pl.BlockSpec((1, 1, 128), lambda f, l, idx_ref: (f, f * 0, f * 0)),
+            pl.BlockSpec(
+                (1, 1, 1, 128),
+                (lambda f, l, idx_ref: (f, l, f * 0, f * 0)) if has_mask
+                else (lambda f, l, idx_ref: (f * 0, f * 0, f * 0, f * 0)),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 2, kp, cp),
+                               lambda f, l, idx_ref: (f, f * 0, f * 0, f * 0)),
+        scratch_shapes=[
+            pltpu.VMEM((kp, cp), jnp.float32),
+            pltpu.VMEM((kp, cp), jnp.float32),
+            pltpu.VMEM((4, kp), jnp.float32),
+            pltpu.VMEM((4, cp), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _smallfold_kernel, n_l=n_l, has_mask=has_mask, with_y=with_y,
+            center_xtx=center_xtx, center_xty=center_xty,
+            scale_x=scale_x, scale_y=scale_y, resolution=resolution,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((f_folds, 2, kp, cp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(21 * n_l + 60) * f_folds * kp * cp,
+            bytes_accessed=(
+                f_folds * kp * cp * 8 + kp * cp * 8
+                + f_folds * n_l * (kp + cp) * 16
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, total4, xw, xu, yu, yw, gx, gy, ymask, scal, mrow)
+
+
+def fused_smallfold_df64_reference(
+    idx2d, mask2d, total4, xw, xu, yu, yw, gx, gy, ymask, scal, *,
+    center_xtx, center_xty, scale_x, scale_y, with_y, resolution,
+):
+    """Eager reference of :func:`fused_smallfold_df64` (same math helpers).
+
+    Do NOT jit: eager per-op rounding is the faithful CPU model of the TPU
+    kernel (see :func:`fused_loocv_df64_reference`).
+    """
+    f_folds, n_l = idx2d.shape
+    center = center_xtx or (with_y and center_xty)
+    need_x_mean = center or scale_x
+    need_y_mean = with_y and (center_xty or scale_y)
+    outs = []
+    for f in range(int(f_folds)):
+        acc = sk = sc = None
+        for l in range(n_l):
+            r = int(idx2d[f, l])
+            xwp = (xw[r, 0:1, :], xw[r, 1:2, :])
+            xup = (xu[r, 0:1, :], xu[r, 1:2, :])
+            yup = ((yu[r, 0:1, :], yu[r, 1:2, :]) if with_y else (None, None))
+            ywp = ((yw[r, 0:1, :], yw[r, 1:2, :]) if with_y else (None, None))
+            m = None if mask2d is None else jnp.float32(mask2d[f, l])
+            prod, xwm, sqx, ywm, sqy = _smallfold_row_terms(
+                xwp, xup, yup, ywp, m, with_y=with_y, scale_x=scale_x,
+                scale_y=scale_y, need_x_mean=need_x_mean,
+                need_y_mean=need_y_mean,
+            )
+            zk = jnp.zeros_like(xwp[0])
+            zc = jnp.zeros_like(yup[0]) if with_y else None
+            row_sk = [p if p is not None else (zk, zk)
+                      for p in (xwm, sqx)]
+            row_sc = [p if p is not None else (zc, zc)
+                      for p in (ywm, sqy)] if with_y else None
+            if l == 0:
+                acc = prod
+                sk = row_sk
+                sc = row_sc
+            else:
+                s, e = two_sum(acc[0], prod[0])
+                acc = (s, acc[1] + (e + prod[1]))
+
+                def add(a, b):
+                    if b[0] is None:
+                        return a
+                    s, e = two_sum(a[0], b[0])
+                    return (s, a[1] + (e + b[1]))
+
+                sk = [add(a, b) for a, b in zip(sk, row_sk)]
+                if with_y:
+                    sc = [add(a, b) for a, b in zip(sc, row_sc)]
+        sk_mat = jnp.concatenate(
+            [sk[0][0], sk[0][1], sk[1][0], sk[1][1]], axis=0)
+        if with_y:
+            sc_mat = jnp.concatenate(
+                [sc[0][0], sc[0][1], sc[1][0], sc[1][1]], axis=0)
+        else:
+            sc_mat = gy
+        oh, ol = _smallfold_finalize(
+            total4, acc, sk_mat, sc_mat, gx, gy, ymask[0:1, :], scal[f, 0],
+            with_y=with_y, resolution=resolution, center_xtx=center_xtx,
+            center_xty=center_xty, scale_x=scale_x, scale_y=scale_y,
+        )
+        outs.append(jnp.stack([oh, ol]))
+    return jnp.stack(outs)

@@ -124,3 +124,71 @@ def test_df64_recip_sqrt_eager():
     assert rel.max() < 2.0 ** -44
     zh, zl = df_sqrt(jnp.float32(0.0), jnp.float32(0.0))
     assert float(zh) == 0.0 and float(zl) == 0.0
+
+
+# --------------------------------------------------------------------------- #
+# General small-fold (L > 1) kernel                                           #
+# --------------------------------------------------------------------------- #
+
+IDX_L = np.arange(24).reshape(6, 4)        # 6 folds of 4 rows
+MASK_L = np.ones((6, 4))
+MASK_L[2, 3] = 0.0                          # one padded row
+MASK_L[5, 2:] = 0.0                         # two padded rows
+
+
+def _run_smallfold_reference(cfg, st, with_y, idx, mask):
+    src = B.prepare_loocv_sources(cfg, st, idx, mask, return_XTX=True,
+                                  return_XTY=with_y, presplit=False)
+    pair = KK.fused_smallfold_df64_reference(
+        idx, mask, src.total4, src.xw, src.xu, src.yu, src.yw,
+        src.gx, src.gy, src.ymask, src.scal,
+        center_xtx=cfg.center_X,
+        center_xty=cfg.center_X or cfg.center_Y,
+        scale_x=cfg.scale_X, scale_y=cfg.scale_Y,
+        with_y=with_y, resolution=cfg.resolution,
+    )
+    return np.asarray(df_to_f64(pair[:, 0], pair[:, 1])), src
+
+
+@pytest.mark.parametrize("flags", [
+    (True, True, True, True), (False, False, False, False),
+    (True, False, False, False), (False, False, False, True),
+    (True, True, False, False), (False, True, True, False),
+])
+@pytest.mark.parametrize("use_w", [True, False])
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_smallfold_kernel_math_lattice(flags, use_w, use_mask):
+    """Small-fold kernel math (eager twin) vs the XLA engine, incl. masks."""
+    cfg = CVConfig(*flags, ddof=1, dtype=np.float64)
+    w = W_ALL if use_w else None
+    mask = MASK_L if use_mask else None
+    for with_y in (True, False):
+        st = fit(cfg, X_ALL, Y_ALL if with_y else None, w)
+        got, _ = _run_smallfold_reference(cfg, st, with_y, IDX_L, mask)
+        ref = B.training_matrices_batched(
+            cfg, st, IDX_L, mask, return_XTX=True, return_XTY=with_y,
+            impl="xla",
+        )[0]
+        if with_y:
+            rx, ry = ref
+            assert_allclose(got[:, :K, :K], np.asarray(rx), atol=1e-8)
+            assert_allclose(got[:, :K, K:K + M], np.asarray(ry), atol=1e-8)
+        else:
+            assert_allclose(got[:, :K, :K], np.asarray(ref), atol=1e-8)
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_smallfold_kernel_interpret_wiring(use_mask):
+    """Pallas wiring of the (F, L) grid, scratch accumulation, masks."""
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    st = fit(cfg, X_ALL, Y_ALL, W_ALL)
+    mask = MASK_L if use_mask else None
+    ref, src = _run_smallfold_reference(cfg, st, True, IDX_L, mask)
+    pair = B.smallfold_from_sources(
+        cfg, src, jnp.asarray(IDX_L.reshape(-1), jnp.int32),
+        n_l=IDX_L.shape[1], return_XTY=True, has_mask=use_mask,
+        interpret=True,
+    )
+    got = np.asarray(df_to_f64(pair[:, 0], pair[:, 1]))
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(got - ref)) < 1e-5 * max(scale, 1.0)
