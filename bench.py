@@ -103,7 +103,8 @@ def main():
     run_folds(state)
     log(f"folds compile+first run: {time.perf_counter() - t0:.3f}s")
 
-    # Measured: total CV = fit + all folds, warm.
+    # Per-phase breakdown (each phase pays one ~30 ms tunnel round trip for
+    # its completion fetch — informational only).
     state = None  # release before refit (two states at K=20k exceed HBM)
     t0 = time.perf_counter()
     state = fit_once()
@@ -111,9 +112,25 @@ def main():
     t0 = time.perf_counter()
     run_folds(state)
     t_folds = time.perf_counter() - t0
-    total = t_fit + t_folds
+    log(f"warm phases: fit={t_fit:.3f}s folds={t_folds:.3f}s "
+        f"(each incl. one completion round trip)")
+
+    # Measured: total CV = fit + all folds in ONE device-chained run with a
+    # single completion barrier at the end — the reference's methodology
+    # (fit + every fold, then one block_until_ready:
+    # ``benchmarks/benchmark.py:148-152``). The fold sweep consumes the
+    # fitted state on-device, so no intermediate fetch is needed.
+    def total_cv():
+        st = jfit(cfg, Xd, Yd, wd)
+        return run_folds(st)  # probe fetch = the single barrier
+
+    state = None
+    total_cv()  # warm any refit-shape difference
+    t0 = time.perf_counter()
+    total_cv()
+    total = time.perf_counter() - t0
     folds_per_sec = P / total
-    log(f"warm: fit={t_fit:.3f}s folds={t_folds:.3f}s total={total:.3f}s "
+    log(f"warm total CV (single barrier): {total:.3f}s "
         f"-> {folds_per_sec:,.0f} folds/s")
 
     baseline_folds_per_sec = 100_000 / 1.299  # ref RTX 3090 Ti warm JIT
