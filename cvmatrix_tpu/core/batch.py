@@ -42,6 +42,7 @@ __all__ = [
     "FoldOperands",
     "LoocvSources",
     "loocv_single_tile_ok",
+    "loocv_f32_from_sources",
     "prepare_fold_operands",
     "prepare_loocv_sources",
     "smallfold_from_sources",
@@ -330,13 +331,14 @@ class LoocvSources(NamedTuple):
 
 def loocv_single_tile_ok(config: CVConfig, state: FitState, return_XTX: bool,
                          return_XTY: bool) -> bool:
-    """Whether the fused LOOCV kernel's geometry applies.
+    """Whether the fused LOOCV kernels' geometry applies (f64 and f32).
 
-    Requires the f64 engine, the XTX side present, and the concatenated
-    [X | Y] output to fit ONE square tile (Kp == Cp <= 1024) so that X-side
-    vectors serve both operand layouts unchanged.
+    Requires the XTX side present and the concatenated [X | Y] output to
+    fit ONE square tile (Kp == Cp <= 1024) so that X-side vectors serve
+    both operand layouts unchanged. Callers pick the engine kernel by
+    dtype.
     """
-    if np.dtype(config.dtype).itemsize != 8 or not return_XTX:
+    if not return_XTX:
         return False
     k = state.K
     c = k + ((state.M or 0) if return_XTY else 0)
@@ -465,6 +467,23 @@ def prepare_loocv_sources(
     total4 = _total_planes(state, return_XTX, return_XTY, kp, cp,
                            presplit=presplit)
     return LoocvSources(total4, xw, xu, yu, yw, gx, gy, ymask, scal, mrow)
+
+
+def loocv_f32_from_sources(config: CVConfig, src: LoocvSources,
+                           rows, scal_slice=None, *, return_XTY: bool,
+                           interpret: bool = False):
+    """Run the f32-engine fused LOOCV kernel on prepared sources."""
+    return kernels.fused_loocv_f32(
+        rows, src.total4, src.xw, src.xu, src.yu, src.yw, src.gx, src.gy,
+        src.ymask, src.scal if scal_slice is None else scal_slice,
+        center_xtx=config.center_X,
+        center_xty=config.center_X or config.center_Y,
+        scale_x=config.scale_X,
+        scale_y=config.scale_Y,
+        with_y=return_XTY,
+        resolution=config.resolution,
+        interpret=interpret,
+    )
 
 
 def loocv_from_sources(config: CVConfig, src: LoocvSources,
@@ -629,8 +648,12 @@ def training_matrices_batched(
 # Folds with at least this many validation rows compute their downdate
 # product on the MXU (exact int8-slice contraction) instead of as an L-step
 # double-float VPU accumulation — the VPU path costs ~21 flops/element/row
-# while the MXU product is near-free by comparison.
-LARGE_FOLD_ROWS = 32
+# while the fused Ozaki kernel's slice products cost ~3.5 VPU-flop
+# equivalents/row plus a fixed ~100-flop recombination. Measured crossover
+# on a v5e (N=100k, K=500, TTTT): L=10 folds run 10% faster through the
+# fused Ozaki path (350 vs 388 ms at P=10000); at L<10 the 32-row slice
+# padding waste dominates.
+LARGE_FOLD_ROWS = 10
 
 
 def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,

@@ -292,6 +292,7 @@ def _materialize_sweep_impl(
     from ..core.batch import (
         LARGE_FOLD_ROWS,
         downdate_from_operands,
+        loocv_f32_from_sources,
         loocv_from_sources,
         loocv_single_tile_ok,
         prepare_fold_operands,
@@ -309,25 +310,31 @@ def _materialize_sweep_impl(
     # reference-form epilogue costs more per element than the prep it saves
     # — so L > 1 stays on the packed path.)
     if (
-        use_packed and is_f64 and mask is None and idx.shape[1] == 1
+        use_packed and mask is None and idx.shape[1] == 1
         and loocv_single_tile_ok(config, state, return_XTX, return_XTY)
     ):
         n = n_chunks * bs
         src = prepare_loocv_sources(
             config, state, idx[:n],
             return_XTX=return_XTX, return_XTY=return_XTY,
+            presplit=None if is_f64 else False,
         )
         rows = idx[:n, 0].astype(jnp.int32)
 
         def body(c, carry):
             ci = jax.lax.dynamic_slice_in_dim(rows, c * bs, bs, 0)
             sc = jax.lax.dynamic_slice_in_dim(src.scal, c * bs, bs, 0)
-            return loocv_from_sources(
+            if is_f64:
+                return loocv_from_sources(
+                    config, src, ci, sc, return_XTY=return_XTY,
+                )
+            return loocv_f32_from_sources(
                 config, src, ci, sc, return_XTY=return_XTY,
             )
 
-        buf0 = jnp.zeros((bs, 2, src.kp, src.cp), jnp.float32)
-        buf = jax.lax.fori_loop(0, n_chunks, body, buf0)
+        shape = (bs, 2, src.kp, src.cp) if is_f64 else (bs, src.kp, src.cp)
+        buf = jax.lax.fori_loop(0, n_chunks, body,
+                                jnp.zeros(shape, jnp.float32))
         return buf.reshape(-1)[0]
     # Hoisted-prep fast path (small folds): gathers, stats, scaling, pair
     # conversion and packing run ONCE for all folds; the loop body is two

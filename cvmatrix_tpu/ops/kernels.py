@@ -1380,3 +1380,148 @@ def fused_smallfold_df64_reference(
         )
         outs.append(jnp.stack([oh, ol]))
     return jnp.stack(outs)
+
+
+# --------------------------------------------------------------------------- #
+# f32-engine all-in-one LOOCV kernel                                          #
+# --------------------------------------------------------------------------- #
+
+
+def _f32_loocv_kernel(idx_ref, total_ref, xw_ref, xu_ref, yu_ref, yw_ref,
+                      gx_ref, gy_ref, ymask_ref, scal_ref, out_ref, *,
+                      center_xtx: bool, center_xty: bool, scale_x: bool,
+                      scale_y: bool, with_y: bool, resolution: float):
+    """Single-precision sibling of :func:`_df64_loocv_kernel`.
+
+    Reads only the hi planes of the pair-layout sources; statistics and the
+    factor-form epilogue run in plain f32 (~8 flops/element — the sweep is
+    HBM-store-bound). Same operand semantics, same single-tile geometry.
+    """
+    one = jnp.float32(1.0)
+    xw = xw_ref[0, 0:1, :]
+    xu = xu_ref[0, 0:1, :]
+    sw = scal_ref[0, 0, 0]
+    rsw = scal_ref[0, 0, 2]
+    rdv = scal_ref[0, 0, 4]
+
+    center = center_xtx or (with_y and center_xty)
+    scale = scale_x or (with_y and scale_y)
+    need_x_mean = center or scale_x
+    need_y_mean = with_y and (center_xty or scale_y)
+
+    def side_stats(w_row, u_row, g, need_mean, need_std):
+        m = r = None
+        if need_mean or need_std:
+            st = g[0:1, :] - w_row
+            m = st * rsw
+        if need_std:
+            ss = g[2:3, :] - w_row * u_row
+            var = (-2.0 * m * st + sw * m * m + ss) * rdv
+            sd = jnp.sqrt(jnp.maximum(var, 0.0))
+            r = jnp.where(sd <= jnp.float32(resolution), one, 1.0 / sd)
+        return m, r
+
+    mX, r1 = side_stats(xw, xu, gx_ref[:], need_x_mean, scale_x)
+    if with_y:
+        yu = yu_ref[0, 0:1, :]
+        yw = yw_ref[0, 0:1, :]
+        mY, r2 = side_stats(yw, yu, gy_ref[:], need_y_mean,
+                            with_y and scale_y)
+
+    u = xw * r1 if scale_x else xw
+    vx = xu * r1 if scale_x else xu
+    if with_y:
+        vy = yu * r2 if scale_y else yu
+        v = vx + vy  # disjoint column support
+    else:
+        v = vx
+
+    d = u[0][:, None] * v[0][None, :]
+    if center:
+        mXr = mX * r1 if scale_x else mX
+        p = mXr * sw
+        qx = mXr if center_xtx else jnp.zeros_like(mXr)
+        if with_y and center_xty:
+            q = qx + (mY * r2 if scale_y else mY)
+        else:
+            q = qx
+        d = d + p[0][:, None] * q[0][None, :]
+    t = total_ref[0]
+    if scale:
+        i1 = r1 if scale_x else jnp.ones_like(xw)
+        ym = ymask_ref[0:1, :]
+        ri2y = r2 if (with_y and scale_y) else i1
+        i2 = jnp.where(ym > 0, ri2y, i1)
+        t = t * (i1[0][:, None] * i2[0][None, :])
+    out_ref[0] = t - d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("center_xtx", "center_xty", "scale_x", "scale_y",
+                     "with_y", "resolution", "interpret"),
+)
+def fused_loocv_f32(
+    idx: jax.Array,     # (F,) int32 validation row index per fold
+    total4: jax.Array,  # (>=1, KP, CP); plane 0 used
+    xw: jax.Array,      # (N, 2, KP) pair layout; hi plane used
+    xu: jax.Array,      # (N, 2, KP)
+    yu: jax.Array,      # (N, 2, CP) shifted to columns [K, K+M)
+    yw: jax.Array,      # (N, 2, CP)
+    gx: jax.Array,      # (4, KP): rows 0/2 = sum_X, sum_sq_X (f32)
+    gy: jax.Array,      # (4, CP) shifted
+    ymask: jax.Array,   # (1, CP)
+    scal: jax.Array,    # (F, 1, 128): cols 0/2/4 = sw, 1/sw, 1/divisor
+    *,
+    center_xtx: bool,
+    center_xty: bool,
+    scale_x: bool,
+    scale_y: bool,
+    with_y: bool,
+    resolution: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """f32 all-in-one LOOCV downdate -> (F, KP, CP) float32."""
+    f_folds = idx.shape[0]
+    n_planes, kp, cp = total4.shape
+    if kp != cp:
+        raise ValueError(f"fused_loocv_f32 requires KP == CP, got ({kp},{cp})")
+    row = lambda f, idx_ref: (idx_ref[f], f * 0, f * 0)  # noqa: E731
+    c3 = lambda f, idx_ref: (f * 0, f * 0, f * 0)  # noqa: E731
+    c2 = lambda f, idx_ref: (f * 0, f * 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(f_folds,),
+        in_specs=[
+            pl.BlockSpec((n_planes, kp, cp), c3),
+            pl.BlockSpec((1, 2, kp), row),
+            pl.BlockSpec((1, 2, kp), row),
+            pl.BlockSpec((1, 2, cp), row if with_y else c3),
+            pl.BlockSpec((1, 2, cp), row if with_y else c3),
+            pl.BlockSpec((4, kp), c2),
+            pl.BlockSpec((4, cp), c2),
+            pl.BlockSpec((1, cp), c2),
+            pl.BlockSpec((1, 1, 128), lambda f, idx_ref: (f, f * 0, f * 0)),
+        ],
+        out_specs=pl.BlockSpec((1, kp, cp),
+                               lambda f, idx_ref: (f, f * 0, f * 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _f32_loocv_kernel,
+            center_xtx=center_xtx, center_xty=center_xty,
+            scale_x=scale_x, scale_y=scale_y, with_y=with_y,
+            resolution=resolution,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((f_folds, kp, cp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * f_folds * kp * cp,
+            bytes_accessed=f_folds * kp * cp * 4 + kp * cp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, total4, xw, xu, yu, yw, gx, gy, ymask, scal)

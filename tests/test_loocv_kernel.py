@@ -104,7 +104,8 @@ def test_loocv_gate():
     assert not B.loocv_single_tile_ok(cfg, st, False, True)  # XTY-only
     cfg32 = CVConfig(dtype=np.float32)
     st32 = fit(cfg32, X_ALL.astype(np.float32), Y_ALL.astype(np.float32))
-    assert not B.loocv_single_tile_ok(cfg32, st32, True, True)  # f32 engine
+    # geometry-only gate: the f32 engine shares it (dtype picks the kernel)
+    assert B.loocv_single_tile_ok(cfg32, st32, True, True)
     mid = fit(cfg, rng.normal(size=(40, 600)), None, None)
     # K=600 -> kp == cp == 640 <= 1024 for XTX-only: eligible.
     assert B.loocv_single_tile_ok(cfg, mid, True, False)
@@ -192,3 +193,28 @@ def test_smallfold_kernel_interpret_wiring(use_mask):
     got = np.asarray(df_to_f64(pair[:, 0], pair[:, 1]))
     scale = np.max(np.abs(ref))
     assert np.max(np.abs(got - ref)) < 1e-5 * max(scale, 1.0)
+
+
+@pytest.mark.parametrize("flags", [
+    (True, True, True, True), (False, False, False, False),
+    (True, False, False, True),
+])
+def test_f32_loocv_kernel_interpret(flags):
+    """f32 all-in-one LOOCV kernel vs the XLA f32 engine (interpret)."""
+    cfg = CVConfig(*flags, ddof=1, dtype=np.float32)
+    X32 = X_ALL.astype(np.float32)
+    Y32 = Y_ALL.astype(np.float32)
+    w32 = W_ALL.astype(np.float32)
+    st = fit(cfg, X32, Y32, w32)
+    src = B.prepare_loocv_sources(cfg, st, IDX, return_XTX=True,
+                                  return_XTY=True, presplit=False)
+    out = B.loocv_f32_from_sources(
+        cfg, src, jnp.asarray(IDX[:, 0], jnp.int32), return_XTY=True,
+        interpret=True,
+    )
+    got = np.asarray(out)
+    (rx, ry), _ = B.training_matrices_batched(
+        cfg, st, IDX, None, return_XTX=True, return_XTY=True, impl="xla")
+    scale = max(np.max(np.abs(np.asarray(rx))), 1.0)
+    assert np.max(np.abs(got[:, :K, :K] - np.asarray(rx))) < 1e-4 * scale
+    assert np.max(np.abs(got[:, :K, K:K + M] - np.asarray(ry))) < 1e-4 * scale
