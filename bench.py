@@ -86,13 +86,16 @@ def main():
     # fold's training matrices in HBM (see materialize_sweep — on TPU+f64
     # they land as double-float hi/lo pairs, hi + lo == the f64 value, via
     # the fused Pallas kernel; BENCH_IMPL=xla forces the vmapped engine).
+    # Bucket probes accumulate ON DEVICE; the single host fetch at the end
+    # is the one completion barrier for the whole sweep.
     def run_folds(st):
-        s = 0.0
+        s = None
         for stack in stacks:
-            s += float(materialize_sweep(
+            p = materialize_sweep(
                 cfg, st, jnp.asarray(stack), batch_size=batch, impl=impl,
-            ))
-        return s  # host scalar fetches force all device work to complete
+            )
+            s = p if s is None else s + p
+        return float(s)
 
     # Warm-up: compile fit + fold programs (cold-JIT excluded, like the
     # reference's warmjit mode).

@@ -89,15 +89,16 @@ def run_cvmatrix(cfg_flags, P, X, Y, weights, batch, mode="warmjit"):
         return st
 
     def run_all_folds(st):
-        # Single-dispatch sweep per size bucket; the probe fetch completes
-        # all device work (block_until_ready can return at enqueue on
-        # remote-tunneled runtimes).
-        s = 0.0
+        # Single-dispatch sweep per size bucket; bucket probes accumulate
+        # ON DEVICE and the one host fetch at the end is the completion
+        # barrier for everything (block_until_ready can return at enqueue
+        # on remote-tunneled runtimes).
+        s = None
         for stack in stacks:
-            s += float(materialize_sweep(
-                cfg, st, jnp.asarray(stack), batch_size=batch,
-            ))
-        return s
+            p = materialize_sweep(cfg, st, jnp.asarray(stack),
+                                  batch_size=batch)
+            s = p if s is None else s + p
+        return float(s)
 
     if mode == "nojit":
         # Eager per-chunk dispatch (the reference's nojit vmap mode).

@@ -348,16 +348,22 @@ def loocv_single_tile_ok(config: CVConfig, state: FitState, return_XTX: bool,
 
 
 def _row_pairs(mat, col0: int, cp: int):
-    """(N, C) f64 -> (N, 2, cp) f32 pair planes at column offset ``col0``."""
-    hi, lo = df_from_f64(mat.astype(jnp.float64))
+    """(N, C) rows -> (N, 2, cp) f32 pair planes at column offset ``col0``.
+
+    f64 input produces true (hi, lo) pairs; f32 input produces (x, 0)
+    exactly (no f64 arithmetic is requested for the f32 engine).
+    """
+    hi, lo = df_from_f64(mat) if mat.dtype == jnp.float64 else (
+        mat.astype(jnp.float32), jnp.zeros(mat.shape, jnp.float32))
     w = mat.shape[1]
     out = jnp.zeros((mat.shape[0], 2, cp), jnp.float32)
     return out.at[:, 0, col0:col0 + w].set(hi).at[:, 1, col0:col0 + w].set(lo)
 
 
 def _vec_pairs(vec, col0: int, cp: int, row0: int, buf):
-    """Write a (1, C) f64 vector's pair into ``buf[row0:row0+2]`` shifted."""
-    hi, lo = df_from_f64(vec.astype(jnp.float64))
+    """Write a (1, C) vector's pair into ``buf[row0:row0+2]`` shifted."""
+    hi, lo = df_from_f64(vec) if vec.dtype == jnp.float64 else (
+        vec.astype(jnp.float32), jnp.zeros(vec.shape, jnp.float32))
     w = vec.shape[-1]
     return buf.at[row0, col0:col0 + w].set(hi[0]).at[
         row0 + 1, col0:col0 + w
@@ -389,16 +395,24 @@ def prepare_loocv_sources(
     f_folds, n_l = idx.shape[0], (idx.shape[1] if idx.ndim > 1 else 1)
     mask = (
         None if mask_batch is None
-        else jnp.asarray(mask_batch, jnp.float64).reshape(f_folds, n_l)
+        else jnp.asarray(mask_batch, config.dtype).reshape(f_folds, n_l)
     )
     k = state.K
     m = state.M if return_XTY else 0
     c = k + (m or 0) if return_XTY else k
     kp = _round_up(max(k, 8), 128)
     cp = kp
+    if _round_up(max(c, 8), 128) != kp or kp > 1024:
+        raise ValueError(
+            f"single-tile geometry required (K={k}, C={c} -> Kp={kp}); "
+            "check loocv_single_tile_ok before preparing sources"
+        )
     weighted = state.weights is not None
     with_y = return_XTY
-    f64 = jnp.float64
+    # f32 engine: the same prep runs in f32 (pairs become (x, 0) exactly).
+    f64 = (
+        jnp.float64 if np.dtype(config.dtype).itemsize == 8 else jnp.float32
+    )
 
     xw = _row_pairs(state.WX if weighted else state.X, 0, kp)
     xu = _row_pairs(state.X, 0, kp) if weighted else xw
@@ -437,13 +451,13 @@ def prepare_loocv_sources(
         if weighted:
             wv = state.weights[rows, 0].astype(f64).reshape(f_folds, n_l)
             if mask is not None:
-                wv = wv * mask
+                wv = wv * mask.astype(f64)
             sw_t = state.sum_w.astype(f64) - wv.sum(axis=1)
             nnz_t = state.num_nonzero_w.astype(f64) - jnp.count_nonzero(
                 wv, axis=1
             )
         elif mask is not None:
-            sw_t = state.sum_w.astype(f64) - mask.sum(axis=1)
+            sw_t = state.sum_w.astype(f64) - mask.astype(f64).sum(axis=1)
             nnz_t = sw_t
         else:
             sw_t = jnp.full((f_folds,), state.N - n_l, f64)
@@ -596,7 +610,7 @@ def training_matrices_batched(
     if dt.itemsize == 4:
         if pair_output:
             raise ValueError("pair_output requires the f64 Pallas impl.")
-        if idx.shape[1] >= LARGE_FOLD_ROWS:
+        if idx.shape[1] >= LARGE_FOLD_ROWS:  # f32: no fused Ozaki variant
             return _f32_kernel_path(
                 config, state, idx, mask,
                 return_XTX=return_XTX, return_XTY=return_XTY,
@@ -617,7 +631,8 @@ def training_matrices_batched(
             return (out[:, :, :k], out[:, :, k:]), stats
         return out, stats
 
-    if idx.shape[1] >= LARGE_FOLD_ROWS:
+    if idx.shape[1] >= large_fold_threshold(config, state, return_XTX,
+                                             return_XTY):
         pair_out, stats, k, c = _large_fold_pallas_path(
             config, state, idx, mask,
             return_XTX=return_XTX, return_XTY=return_XTY,
@@ -647,13 +662,37 @@ def training_matrices_batched(
 
 # Folds with at least this many validation rows compute their downdate
 # product on the MXU (exact int8-slice contraction) instead of as an L-step
-# double-float VPU accumulation — the VPU path costs ~21 flops/element/row
-# while the fused Ozaki kernel's slice products cost ~3.5 VPU-flop
-# equivalents/row plus a fixed ~100-flop recombination. Measured crossover
-# on a v5e (N=100k, K=500, TTTT): L=10 folds run 10% faster through the
-# fused Ozaki path (350 vs 388 ms at P=10000); at L<10 the 32-row slice
-# padding waste dominates.
-LARGE_FOLD_ROWS = 10
+# double-float VPU accumulation. Two thresholds: when the FUSED Ozaki
+# kernel applies (single square tile, exact mode) its slice products cost
+# ~3.5 VPU-flop equivalents/row vs 21 for the packed accumulation, and the
+# measured v5e crossover is 10 rows (350 vs 388 ms at P=10000, N=100k
+# K=500 TTTT). The split contract-then-epilogue pipeline (huge K,
+# Kp != Cp, or native matmul mode) round-trips the (F, Kp, Cp) product
+# through HBM and only wins from 32 rows — use large_fold_threshold() to
+# pick per shape.
+LARGE_FOLD_ROWS = 32
+FUSED_LARGE_FOLD_ROWS = 10
+
+
+def _fused_ozaki_eligible(config, state, return_XTX, return_XTY) -> bool:
+    from ..ops.precise import _use_exact
+
+    k = state.K
+    c = k + ((state.M or 0) if return_XTY else 0)
+    kp = _round_up(max(k, 8), 128)
+    cp = _round_up(max(c, 8), 128)
+    return (
+        return_XTX and kp == cp and kp <= 512
+        and np.dtype(config.dtype).itemsize == 8
+        and _use_exact(config.matmul_mode, jnp.float64)
+    )
+
+
+def large_fold_threshold(config, state, return_XTX, return_XTY) -> int:
+    """Row count above which fold batches take the MXU-product path."""
+    if _fused_ozaki_eligible(config, state, return_XTX, return_XTY):
+        return FUSED_LARGE_FOLD_ROWS
+    return LARGE_FOLD_ROWS
 
 
 def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,

@@ -34,6 +34,22 @@ def _auto_batch(n_folds: int, k: int, m: int, itemsize: int,
     return max(1, min(n_folds, int(budget_bytes / (3 * per_fold))))
 
 
+def _pad_folds(idx, mask, bs):
+    """Pad the fold axis to a multiple of ``bs`` by repeating the last fold
+    (<1 chunk of duplicate work) — a separate remainder chunk would compile
+    a SECOND whole sweep program per configuration."""
+    pad = (-idx.shape[0]) % bs
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(idx[-1:], (pad,) + idx.shape[1:])]
+        )
+        if mask is not None:
+            mask = jnp.concatenate(
+                [mask, jnp.broadcast_to(mask[-1:], (pad,) + mask.shape[1:])]
+            )
+    return idx, mask
+
+
 def cross_validate(
     config: CVConfig,
     state: FitState,
@@ -149,15 +165,7 @@ def cross_validate_reduce(
     n_folds = idx.shape[0]
     mask = None if mask_batch is None else jnp.asarray(mask_batch, config.dtype)
     bs = min(batch_size, n_folds)
-    pad = (-n_folds) % bs
-    if pad:
-        idx = jnp.concatenate(
-            [idx, jnp.broadcast_to(idx[-1:], (pad,) + idx.shape[1:])]
-        )
-        if mask is not None:
-            mask = jnp.concatenate(
-                [mask, jnp.broadcast_to(mask[-1:], (pad,) + mask.shape[1:])]
-            )
+    idx, mask = _pad_folds(idx, mask, bs)
     n_chunks = idx.shape[0] // bs
     idx_c = idx.reshape(n_chunks, bs, *idx.shape[1:])
     mask_c = None if mask is None else mask.reshape(n_chunks, bs, *mask.shape[1:])
@@ -173,9 +181,9 @@ def cross_validate_reduce(
 def _reduce_sweep_impl(config, return_XTX, return_XTY, impl, reduce_fn,
                        state, idx_c, mask_c):
     from ..core.batch import (
-        LARGE_FOLD_ROWS,
         _padded_dims,
         _total_planes,
+        large_fold_threshold,
         training_matrices_batched,
     )
 
@@ -187,7 +195,8 @@ def _reduce_sweep_impl(config, return_XTX, return_XTY, impl, reduce_fn,
         impl in ("auto", "pallas")
         and jax.default_backend() == "tpu"
         and np.dtype(config.dtype).itemsize == 8
-        and idx_c.shape[2] >= LARGE_FOLD_ROWS
+        and idx_c.shape[2] >= large_fold_threshold(
+            config, state, return_XTX, return_XTY)
     ):
         _, _, kp, cp, _ = _padded_dims(state, return_XTX, return_XTY)
         planes = _total_planes(state, return_XTX, return_XTY, kp, cp,
@@ -265,18 +274,7 @@ def materialize_sweep(
     use_f32_packed = impl != "xla" and on_tpu and dt.itemsize == 4
     kernel_impl = "pallas" if (use_pairs or use_f32_packed) else impl
 
-    # Pad the fold count to a multiple of the chunk size by repeating the
-    # last fold (<1 chunk of duplicate work) — a separate remainder chunk
-    # would compile a SECOND whole sweep program per configuration.
-    pad = (-n_folds) % bs
-    if pad:
-        idx = jnp.concatenate(
-            [idx, jnp.broadcast_to(idx[-1:], (pad,) + idx.shape[1:])]
-        )
-        if mask is not None:
-            mask = jnp.concatenate(
-                [mask, jnp.broadcast_to(mask[-1:], (pad,) + mask.shape[1:])]
-            )
+    idx, mask = _pad_folds(idx, mask, bs)
     n_chunks = idx.shape[0] // bs
     runner = _materialize_sweep_jit if jit else _materialize_sweep_impl
     return runner(
@@ -290,7 +288,6 @@ def _materialize_sweep_impl(
     state, idx, mask,
 ):
     from ..core.batch import (
-        LARGE_FOLD_ROWS,
         downdate_from_operands,
         loocv_f32_from_sources,
         loocv_from_sources,
@@ -341,7 +338,10 @@ def _materialize_sweep_impl(
     # slices plus the packed kernel. Large folds instead route per chunk
     # through the MXU-product paths inside training_matrices_batched
     # (hoisting L-row streams for every fold would blow HBM at scale).
-    if use_packed and idx.shape[1] < LARGE_FOLD_ROWS:
+    from ..core.batch import large_fold_threshold
+
+    if use_packed and idx.shape[1] < large_fold_threshold(
+            config, state, return_XTX, return_XTY):
         n = n_chunks * bs
         ops, _ = prepare_fold_operands(
             config, state, idx[:n],

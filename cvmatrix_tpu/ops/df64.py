@@ -141,7 +141,8 @@ def df_recip(bh, bl):
     Seed ``q0 = 1/bh`` is correctly-rounded f32 (~2^-24); the residual
     ``r = 1 - b*q0`` is formed with an exact TwoProd (the ``1 - p`` subtract
     is exact by Sterbenz since ``p`` is within a rounding of 1), so the
-    corrected pair carries ~2^-46 relative error. b == +-0 yields +-inf.
+    corrected pair carries ~2^-46 relative error. b == +-0 yields NaN
+    (0 * inf inside the correction) — callers must clamp zeros first.
     """
     q0 = 1.0 / bh
     q0h, q0l = split(q0)

@@ -29,6 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .precise import _T_BITS as _OZAKI_T_BITS
 from .df64 import (
     df_add,
     df_mul,
@@ -941,7 +942,7 @@ def _ozaki_downdate_kernel(total_ref, sa_ref, sb_ref, pa_ref, pb_ref,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-        cs = 2.0 ** (-6.0 * (s + 2))
+        cs = 2.0 ** (-float(_OZAKI_T_BITS) * (s + 2))
         g_h = d32.astype(jnp.float32)
         if exact_groups:
             g_l = None
@@ -955,13 +956,15 @@ def _ozaki_downdate_kernel(total_ref, sa_ref, sb_ref, pa_ref, pb_ref,
             acc_h = t
             acc_l = acc_l + (e if g_l is None else e + g_l * cs)
 
-    # Column scales 2^(ea + eb): four sequential exact power-of-two factors.
+    # Column scales 2^(ea + eb): four sequential exact power-of-two
+    # factors, interleaved A/B so a huge exponent on one side can cancel a
+    # tiny one on the other before the f32 intermediate overflows.
     pa1 = pa_ref[0, 0][:, None]
     pa2 = pa_ref[0, 1][:, None]
     pb1 = pb_ref[0, 0][None, :]
     pb2 = pb_ref[0, 1][None, :]
-    d_h = acc_h * pa1 * pa2 * pb1 * pb2
-    d_l = acc_l * pa1 * pa2 * pb1 * pb2
+    d_h = acc_h * pa1 * pb1 * pa2 * pb2
+    d_l = acc_l * pa1 * pb1 * pa2 * pb2
 
     oh, ol = _df64_ref_epilogue_math(total_ref, d_h, d_l, kv_ref, cv_ref,
                                      center=center, scale=scale)
@@ -997,10 +1000,12 @@ def fused_ozaki_downdate_df64(
     if kp != cp:
         raise ValueError(f"requires KP == CP, got ({kp},{cp})")
     # int32 group sums are exact below 2^31; below 2^24 they are even exact
-    # in a single f32 (slice values in [-64, 64] -> |sum| <= n*Lp*2^12).
-    if n_slices * lp * 4096 >= 2 ** 31:
+    # in a single f32 (slice values are (T_BITS+1)-bit integers, so a group
+    # sum is bounded by n * Lp * 2^(2 T_BITS)).
+    bound = n_slices * lp * (1 << (2 * _OZAKI_T_BITS))
+    if bound >= 2 ** 31:
         raise ValueError("fold rows too large for exact int32 group sums")
-    exact_groups = n_slices * lp * 4096 < 2 ** 24
+    exact_groups = bound < 2 ** 24
     c3 = lambda f: (f * 0, f * 0, f * 0)  # noqa: E731
     grid = (f_folds,)
     return pl.pallas_call(
@@ -1089,7 +1094,6 @@ def _smallfold_finalize(total_ref, acc, sk, sc, gx, gy, ymask, scal_row, *,
     pairs; ``sc``: (4, Cp) [sum ywm, sum sqy] pairs (Y-side, shifted
     layout).
     """
-    one = jnp.float32(1.0)
     sw = (scal_row[0], scal_row[1])
     rsw = (scal_row[2], scal_row[3])
     rdv = (scal_row[4], scal_row[5])

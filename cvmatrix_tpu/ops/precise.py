@@ -150,7 +150,30 @@ def ozaki_contract(
         )
         return (acc + d.astype(f64) * sc, sa, sb), None
 
-    def group_prefix_sum(acc, sa, sb, rows):
+    def group_step(carry, s_scale):
+        # Same-exponent group via a scanned fori accumulation: ONE (K, C)
+        # int32 buffer lives at a time. The prefix-stack form below is
+        # faster but unrolls 10 matmuls whose int32 outputs XLA may keep
+        # alive simultaneously — at genomics-wide K a single (20480,
+        # 20480) int32 product is 1.7 GB, so large outputs use this form.
+        acc, sa, sb = carry
+        s, sc = s_scale
+
+        def i_step(i, d32):
+            return d32 + jax.lax.dot_general(
+                jax.lax.dynamic_index_in_dim(sa, i, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(sb, s - i, 0, keepdims=False),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+        d32 = jax.lax.fori_loop(
+            0, s + 1, i_step,
+            jnp.zeros((sa.shape[2], sb.shape[2]), jnp.int32),
+        )
+        return (acc + d32.astype(f64) * sc, sa, sb), None
+
+    def group_prefix_sum(acc, sa, sb_rev_stack, rows):
         # Same-exponent groups, restructured for the MXU: group s's sum
         # ``sum_i sa_i^T @ sb_{s-i}`` equals ONE matmul between contiguous
         # prefix/suffix slices of the stacked slice arrays —
@@ -164,7 +187,10 @@ def ozaki_contract(
         # accumulation.
         s_groups = sa.shape[0]
         sa_all = sa.reshape(s_groups * rows, sa.shape[2])
-        sb_rev = sb[::-1].reshape(s_groups * rows, sb.shape[2])
+        # sb arrives stacked in REVERSED slice order (reversing the Python
+        # list before jnp.stack is free; reversing a stacked array would
+        # materialise a second multi-GB copy at genomics-wide K).
+        sb_rev = sb_rev_stack.reshape(s_groups * rows, sb_rev_stack.shape[2])
         for s in range(s_groups):
             d32 = jax.lax.dot_general(
                 jax.lax.slice_in_dim(sa_all, 0, (s + 1) * rows, axis=0),
@@ -182,13 +208,25 @@ def ozaki_contract(
     for start in range(0, max(n, 1), _MAX_CHUNK):
         stop = min(start + _MAX_CHUNK, n)
         sa = jnp.stack(_mantissa_slices(a_scaled[start:stop], n_slices))
-        sb = jnp.stack(_mantissa_slices(b_scaled[start:stop], n_slices))
-        if stop - start <= _GROUP_CHUNK:
-            acc = group_prefix_sum(acc, sa, sb, stop - start)
+        sb_list = _mantissa_slices(b_scaled[start:stop], n_slices)
+        small_out = a.shape[1] * b.shape[1] <= 2048 * 2048
+        if stop - start <= _GROUP_CHUNK and small_out:
+            acc = group_prefix_sum(acc, sa, jnp.stack(sb_list[::-1]),
+                                   stop - start)
+        elif stop - start <= _GROUP_CHUNK:
+            group_scale = 2.0 ** (-_T_BITS * (np.arange(n_slices) + 2.0))
+            (acc, _, _), _ = jax.lax.scan(
+                group_step,
+                (acc, sa, jnp.stack(sb_list)),
+                (
+                    jnp.arange(n_slices, dtype=jnp.int32),
+                    jnp.asarray(group_scale, f64),
+                ),
+            )
         else:
             (acc, _, _), _ = jax.lax.scan(
                 pair_step,
-                (acc, sa, sb),
+                (acc, sa, jnp.stack(sb_list)),
                 (
                     jnp.asarray(pairs_i, jnp.int32),
                     jnp.asarray(pairs_j, jnp.int32),
