@@ -675,8 +675,8 @@ FUSED_LARGE_FOLD_ROWS = 10
 
 
 def _fused_ozaki_eligible(config, state, return_XTX, return_XTY) -> bool:
-    from ..ops.precise import _use_exact
-
+    # Backend-independent on purpose: the threshold is only consulted when
+    # routing to the TPU Pallas paths, where auto == exact for f64.
     k = state.K
     c = k + ((state.M or 0) if return_XTY else 0)
     kp = _round_up(max(k, 8), 128)
@@ -684,7 +684,7 @@ def _fused_ozaki_eligible(config, state, return_XTX, return_XTY) -> bool:
     return (
         return_XTX and kp == cp and kp <= 512
         and np.dtype(config.dtype).itemsize == 8
-        and _use_exact(config.matmul_mode, jnp.float64)
+        and config.matmul_mode in ("auto", "exact")
     )
 
 

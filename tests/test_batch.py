@@ -144,3 +144,24 @@ def test_batch_errors():
     with pytest.raises(ValueError, match="pair_output"):
         training_matrices_batched(cfg, st, np.arange(4)[:, None],
                                   impl="xla", pair_output=True)
+
+
+def test_large_fold_threshold_per_shape():
+    """MXU-path crossover: 10 rows when the fused Ozaki kernel applies,
+    32 for shapes that would take the HBM-round-tripping split pipeline."""
+    from cvmatrix_tpu.core.batch import (
+        FUSED_LARGE_FOLD_ROWS, LARGE_FOLD_ROWS, large_fold_threshold)
+
+    cfg = CVConfig(True, True, True, True, 1, dtype=np.float64)
+    st = fit(cfg, X_ALL, Y_ALL, WEIGHTS)  # K=6 -> single square tile
+    assert large_fold_threshold(cfg, st, True, True) == FUSED_LARGE_FOLD_ROWS
+    # XTY-only: Kp != Cp -> split pipeline threshold
+    assert large_fold_threshold(cfg, st, False, True) == LARGE_FOLD_ROWS
+    # native matmul mode: no exact path -> split pipeline threshold
+    cfg_nat = CVConfig(True, True, True, True, 1, dtype=np.float64,
+                       matmul_mode="native")
+    assert large_fold_threshold(cfg_nat, st, True, True) == LARGE_FOLD_ROWS
+    # f32 engine: no fused Ozaki variant
+    cfg32 = CVConfig(True, True, True, True, 1, dtype=np.float32)
+    st32 = fit(cfg32, X_ALL.astype(np.float32), Y_ALL.astype(np.float32))
+    assert large_fold_threshold(cfg32, st32, True, True) == LARGE_FOLD_ROWS

@@ -92,3 +92,20 @@ def test_contract_f32_native():
     np.testing.assert_allclose(
         np.asarray(got), a.T.astype(np.float64) @ b.astype(np.float64), rtol=1e-5
     )
+
+
+def test_ozaki_group_paths_both_branches():
+    """Both group recombinations (prefix-stack and scanned) are correct.
+
+    Outputs above 2048^2 elements take the scanned one-int32-buffer form
+    (the unrolled prefix matmuls kept several multi-GB int32 products alive
+    at genomics-wide K and OOMed a 16 GB chip); small outputs keep the
+    faster prefix-stack form. Same math either way.
+    """
+    rng = np.random.default_rng(5)
+    for k, c in ((40, 24), (2080, 2080)):  # below / above the threshold
+        a = jnp.asarray(rng.normal(size=(48, k)))
+        b = jnp.asarray(rng.normal(size=(48, c)))
+        got = np.asarray(ozaki_contract(a, b))
+        ref = np.asarray(a).T @ np.asarray(b)
+        assert np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)) < 1e-12
