@@ -370,6 +370,33 @@ def _vec_pairs(vec, col0: int, cp: int, row0: int, buf):
     ].set(lo[0])
 
 
+def _fold_scalar_stream(config, state, rows, mask, f_folds, n_l, f64):
+    """(F, 1, 128) per-fold scalar pairs: [sum_w_train, 1/sum_w_train,
+    1/std_divisor] — the trace-safe scalars of
+    :func:`cvmatrix_tpu.core.fold._train_weight_scalars` / ``_std_divisor``
+    with reciprocals taken host-side of the kernel."""
+    scal = jnp.zeros((f_folds, 1, 128), jnp.float32)
+    if state.weights is not None:
+        wv = state.weights[rows, 0].astype(f64).reshape(f_folds, n_l)
+        if mask is not None:
+            wv = wv * mask.astype(f64)
+        sw_t = state.sum_w.astype(f64) - wv.sum(axis=1)
+        nnz_t = state.num_nonzero_w.astype(f64) - jnp.count_nonzero(
+            wv, axis=1
+        )
+    elif mask is not None:
+        sw_t = state.sum_w.astype(f64) - mask.astype(f64).sum(axis=1)
+        nnz_t = sw_t
+    else:
+        sw_t = jnp.full((f_folds,), state.N - n_l, f64)
+        nnz_t = sw_t
+    divisor = (nnz_t - config.ddof) * sw_t / nnz_t
+    for col, val in ((0, sw_t), (2, 1.0 / sw_t), (4, 1.0 / divisor)):
+        hi, lo = df_from_f64(val)
+        scal = scal.at[:, 0, col].set(hi).at[:, 0, col + 1].set(lo)
+    return scal
+
+
 def prepare_loocv_sources(
     config: CVConfig,
     state: FitState,
@@ -446,26 +473,11 @@ def prepare_loocv_sources(
         gx = _vec_pairs(state.sum_sq_X, 0, kp, 2, gx)
 
     # (F, 1, 128): the trailing (1, 128) satisfies Mosaic's block rules.
-    scal = jnp.zeros((f_folds, 1, 128), jnp.float32)
-    if need_x_mean or need_y_stats:
-        if weighted:
-            wv = state.weights[rows, 0].astype(f64).reshape(f_folds, n_l)
-            if mask is not None:
-                wv = wv * mask.astype(f64)
-            sw_t = state.sum_w.astype(f64) - wv.sum(axis=1)
-            nnz_t = state.num_nonzero_w.astype(f64) - jnp.count_nonzero(
-                wv, axis=1
-            )
-        elif mask is not None:
-            sw_t = state.sum_w.astype(f64) - mask.astype(f64).sum(axis=1)
-            nnz_t = sw_t
-        else:
-            sw_t = jnp.full((f_folds,), state.N - n_l, f64)
-            nnz_t = sw_t
-        divisor = (nnz_t - config.ddof) * sw_t / nnz_t
-        for col, val in ((0, sw_t), (2, 1.0 / sw_t), (4, 1.0 / divisor)):
-            hi, lo = df_from_f64(val)
-            scal = scal.at[:, 0, col].set(hi).at[:, 0, col + 1].set(lo)
+    scal = (
+        _fold_scalar_stream(config, state, rows, mask, f_folds, n_l, f64)
+        if (need_x_mean or need_y_stats)
+        else jnp.zeros((f_folds, 1, 128), jnp.float32)
+    )
     if mask is None:
         mrow = jnp.zeros((1, 1, 1, 128), jnp.float32)
     else:
@@ -892,3 +904,232 @@ def _f32_kernel_path(config, state, idx, mask, *, return_XTX, return_XTY):
     if return_XTX and return_XTY:
         return (out[:, :, :k], out[:, :, k:]), stats
     return out, stats
+
+
+class OzakiSources(NamedTuple):
+    """Operands for the v2 fused Ozaki kernel (dataset slice planes).
+
+    ``saN``/``sbN`` are sliced ONCE per dataset against GLOBAL per-column
+    scales; ``yvec`` carries the (M-wide) Y-side statistic vectors per fold;
+    everything else mirrors :class:`LoocvSources`.
+    """
+
+    total2: jnp.ndarray
+    saN: jnp.ndarray
+    sbN: jnp.ndarray
+    pa: jnp.ndarray
+    pb: jnp.ndarray
+    gx: jnp.ndarray
+    yvec: jnp.ndarray
+    ymask: jnp.ndarray
+    scal: jnp.ndarray
+    mrow: jnp.ndarray
+    idx: jnp.ndarray   # (F, Lp) row indices, padded
+    mask2d: jnp.ndarray  # (F, Lp) 0/1 or None
+    lp: int
+
+    @property
+    def kp(self) -> int:
+        return self.total2.shape[1]
+
+    @property
+    def cp(self) -> int:
+        return self.total2.shape[2]
+
+
+def ozaki_v2_ok(config: CVConfig, state: FitState, return_XTX: bool,
+                return_XTY: bool, n_l: int) -> bool:
+    """Geometry gate for the v2 kernel: single square tile and a fold row
+    count whose single-f32 group sums stay exact (S * Lp * 2^12 < 2^24)."""
+    lp = _round_up(n_l, 32)
+    return (
+        loocv_single_tile_ok(config, state, return_XTX, return_XTY)
+        and np.dtype(config.dtype).itemsize == 8
+        and config.matmul_mode in ("auto", "exact")
+        and _round_up(max(state.K, 8), 128) <= 512
+        and 10 * lp * 4096 < 2 ** 24
+    )
+
+
+def prepare_ozaki_sources(
+    config: CVConfig,
+    state: FitState,
+    idx_batch,
+    mask_batch=None,
+    *,
+    return_XTX: bool = True,
+    return_XTY: bool = True,
+) -> OzakiSources:
+    """Build dataset slice planes + per-fold vectors for the v2 kernel.
+
+    The dataset is sliced once with GLOBAL column scales (valid for every
+    fold: the downdate's error budget is absolute against the total, which
+    carries the global scale). Only the tiny Y-side statistic vectors and
+    the O(F) scalars are computed per fold outside the kernel.
+    """
+    from ..ops.precise import _column_scale, _mantissa_slices, _pow2
+    from .fold import FoldBlocks, _compute_training_stats
+
+    idx = jnp.asarray(idx_batch)
+    f_folds, n_l = idx.shape
+    lp = _round_up(n_l, 32)
+    mask = (
+        None if mask_batch is None
+        else jnp.asarray(mask_batch, config.dtype).reshape(f_folds, n_l)
+    )
+    if lp != n_l:
+        # pad rows with index 0 + mask 0 (exactly zero contribution)
+        pad = lp - n_l
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((f_folds, pad), idx.dtype)], axis=1)
+        base = jnp.ones((f_folds, n_l), config.dtype) if mask is None else mask
+        mask = jnp.concatenate(
+            [base, jnp.zeros((f_folds, pad), config.dtype)], axis=1)
+
+    k = state.K
+    m = state.M if return_XTY else 0
+    c = k + (m or 0) if return_XTY else k
+    kp = _round_up(max(k, 8), 128)
+    cp = kp
+    weighted = state.weights is not None
+    with_y = return_XTY
+    f64 = jnp.float64
+
+    def slice_planes(mat_parts, width):
+        """[(mat, col0), ...] -> (N, S, width) int8 + (2, width) pow2."""
+        n = mat_parts[0][0].shape[0]
+        padded = jnp.zeros((n, width), f64)
+        for mat, col0 in mat_parts:
+            padded = padded.at[:, col0:col0 + mat.shape[1]].set(
+                mat.astype(f64))
+        e = _column_scale(padded)
+        scaled = padded * _pow2(-e)[None, :]
+        planes = jnp.stack(_mantissa_slices(scaled, 10), axis=1)
+        h1 = jnp.clip(e, -127, 127)
+        pows = jnp.stack([
+            jnp.ldexp(jnp.float32(1.0), h1),
+            jnp.ldexp(jnp.float32(1.0), e - h1),
+        ])
+        return planes, pows
+
+    saN, pa = slice_planes([(state.WX if weighted else state.X, 0)], kp)
+    b_parts = [(state.X, 0)]
+    if with_y:
+        b_parts.append((state.Y, k))
+    sbN, pb = slice_planes(b_parts, cp)
+
+    center = config.center_X or (with_y and config.center_Y)
+    need_x_mean = center or config.scale_X
+    need_y_stats = with_y and (
+        config.center_X or config.center_Y or config.scale_Y
+    )
+
+    gx = jnp.zeros((4, kp), jnp.float32)
+    if need_x_mean:
+        gx = _vec_pairs(state.sum_X, 0, kp, 0, gx)
+    if config.scale_X:
+        gx = _vec_pairs(state.sum_sq_X, 0, kp, 2, gx)
+
+    ymask = jnp.zeros((1, cp), jnp.float32)
+    yvec = jnp.zeros((f_folds, 2, 2, cp), jnp.float32)
+    if with_y:
+        ymask = ymask.at[:, k:k + m].set(1.0)
+        if need_y_stats:
+            # Y-side stats from the (M-wide) gathered validation rows only.
+            rows2d = idx.reshape(-1)
+            Yv_raw = (
+                state.WY if (weighted and config.needs_WY) else state.Y
+            )[rows2d].reshape(f_folds, lp, m)
+            Yv_u = state.Y[rows2d].reshape(f_folds, lp, m)
+            w_val = (
+                state.weights[rows2d].reshape(f_folds, lp, 1)
+                if weighted else None
+            )
+            mk = None if mask is None else mask
+
+            def one(yw_f, yu_f, w_f, mk_f):
+                blocks = FoldBlocks(
+                    Xv_w=jnp.zeros((lp, 1), config.dtype),
+                    Xv_u=jnp.zeros((lp, 1), config.dtype),
+                    Yv_w=yw_f if mk_f is None else yw_f * mk_f[:, None],
+                    Yv_u=yu_f,
+                    w_val=(
+                        None if w_f is None
+                        else (w_f if mk_f is None else w_f * mk_f[:, None])
+                    ),
+                    mask=mk_f,
+                )
+                return _compute_training_stats(
+                    config, state, blocks, check=False,
+                    return_X_mean=False, return_X_std=False,
+                    return_Y_mean=True, return_Y_std=config.scale_Y,
+                )
+
+            in_axes = (0, 0, None if w_val is None else 0,
+                       None if mk is None else 0)
+            _, _, Y_mean, Y_std, _ = jax.vmap(one, in_axes=in_axes)(
+                Yv_raw, Yv_u, w_val, mk)
+            qy = (
+                Y_mean[:, 0, :] if (config.center_X or config.center_Y)
+                else jnp.zeros((f_folds, m), config.dtype)
+            )
+            buf = jnp.zeros((f_folds, 2, cp), jnp.float32)
+            hi, lo = (
+                df_from_f64(qy) if qy.dtype == jnp.float64
+                else (qy.astype(jnp.float32), jnp.zeros_like(qy, jnp.float32))
+            )
+            yvec = yvec.at[:, 0, 0, k:k + m].set(hi)
+            yvec = yvec.at[:, 0, 1, k:k + m].set(lo)
+            del buf
+            i2y = (
+                (1.0 / Y_std[:, 0, :]).astype(f64) if config.scale_Y
+                else jnp.ones((f_folds, m), f64)
+            )
+            hi, lo = df_from_f64(i2y)
+            yvec = yvec.at[:, 1, 0, k:k + m].set(hi)
+            yvec = yvec.at[:, 1, 1, k:k + m].set(lo)
+        elif config.scale_X:
+            # i2 Y-part defaults to ones when only X is scaled
+            yvec = yvec.at[:, 1, 0, k:k + m].set(1.0)
+
+    scal = (
+        _fold_scalar_stream(config, state, idx.reshape(-1), mask, f_folds,
+                            lp, f64)
+        if (need_x_mean or need_y_stats)
+        else jnp.zeros((f_folds, 1, 128), jnp.float32)
+    )
+
+    if mask is None:
+        mrow = jnp.zeros((1, 1, 1, 128), jnp.float32)
+    else:
+        mrow = jnp.zeros((f_folds, lp, 1, 128), jnp.float32).at[
+            :, :, 0, 0
+        ].set(mask.astype(jnp.float32))
+
+    total2 = _total_planes(state, return_XTX, return_XTY, kp, cp,
+                           presplit=False)
+    return OzakiSources(total2, saN, sbN, pa, pb, gx, yvec, ymask, scal,
+                        mrow, idx, mask, lp)
+
+
+def ozaki_v2_from_sources(config: CVConfig, src: OzakiSources, rows=None,
+                          scal_slice=None, mrow_slice=None, yvec_slice=None,
+                          *, return_XTY: bool, interpret: bool = False):
+    """Run the v2 fused Ozaki kernel on (a slice of) prepared sources."""
+    return kernels.fused_ozaki_downdate_v2(
+        src.idx.reshape(-1).astype(jnp.int32) if rows is None else rows,
+        src.total2, src.saN, src.sbN, src.pa, src.pb, src.gx,
+        src.yvec if yvec_slice is None else yvec_slice,
+        src.ymask,
+        src.scal if scal_slice is None else scal_slice,
+        src.mrow if mrow_slice is None else mrow_slice,
+        n_l=src.lp,
+        center_xtx=config.center_X,
+        center_xty=config.center_X or config.center_Y,
+        scale_x=config.scale_X,
+        scale_y=config.scale_Y,
+        with_y=return_XTY,
+        has_mask=src.mask2d is not None,
+        resolution=config.resolution,
+        interpret=interpret,
+    )

@@ -1529,3 +1529,269 @@ def fused_loocv_f32(
         ),
         interpret=interpret,
     )(idx, total4, xw, xu, yu, yw, gx, gy, ymask, scal)
+
+
+# --------------------------------------------------------------------------- #
+# Fused Ozaki v2: dataset slice planes, in-kernel gather AND X-side stats     #
+# --------------------------------------------------------------------------- #
+
+
+def _ozaki_v2_fold_math(total, sa, sb, pa, pb, gx, yvec, ymask, scal_row, *,
+                        center_xtx: bool, center_xty: bool, scale_x: bool,
+                        scale_y: bool, with_y: bool, resolution: float):
+    """One fold's downdate + X-side stats from its SLICE stacks.
+
+    ``sa``/``sb``: (Lp, S, Kp/Cp) int8 mantissa slices of the fold's
+    weighted X rows / unweighted [X | Y] rows, sliced against DATASET-GLOBAL
+    per-column scales (valid: a larger scale only shrinks the scaled values,
+    and the 2^-60-of-global-scale residual is exactly the downdate's error
+    budget — the total it subtracts from carries the global scale).
+
+    X-side statistics never touch the raw rows: the validation-block column
+    sums recombine from the slice column sums (exact — a slice column sum is
+    bounded by Lp * 2^T_BITS < 2^24), and the squared sums are the X-block
+    DIAGONAL of the downdate product itself. Only the (tiny, M-wide) Y-side
+    vectors arrive precomputed in ``yvec``: [q-part pair, i2-part pair],
+    zero outside the Y columns.
+    """
+    s_groups = sa.shape[1]
+    acc_h = acc_l = None
+    sum_h = sum_l = None
+    need_x_mean = center_xtx or (with_y and center_xty) or scale_x
+    for s in range(s_groups):
+        d32 = jax.lax.dot_general(
+            sa[:, 0, :], sb[:, s, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        for i in range(1, s + 1):
+            d32 = d32 + jax.lax.dot_general(
+                sa[:, i, :], sb[:, s - i, :], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        cs = 2.0 ** (-float(_OZAKI_T_BITS) * (s + 2))
+        g_h = d32.astype(jnp.float32)
+        if acc_h is None:
+            acc_h = g_h * cs
+            acc_l = jnp.zeros_like(g_h)
+        else:
+            t, e = two_sum(acc_h, g_h * cs)
+            acc_h = t
+            acc_l = acc_l + e
+        if need_x_mean:
+            # exact int32 column sum of this slice -> f32 (bounded < 2^24)
+            csum = jnp.sum(sa[:, s, :].astype(jnp.int32), axis=0,
+                           keepdims=True).astype(jnp.float32)
+            c1 = 2.0 ** (-float(_OZAKI_T_BITS) * (s + 1))
+            if sum_h is None:
+                sum_h = csum * c1
+                sum_l = jnp.zeros_like(csum)
+            else:
+                t, e = two_sum(sum_h, csum * c1)
+                sum_h = t
+                sum_l = sum_l + e
+
+    pa1 = pa[0:1, :]
+    pa2 = pa[1:2, :]
+    pb1 = pb[0:1, :]
+    pb2 = pb[1:2, :]
+    d_h = acc_h * pa1.T * pb1 * pa2.T * pb2
+    d_l = acc_l * pa1.T * pb1 * pa2.T * pb2
+
+    sw = (scal_row[0], scal_row[1])
+    rsw = (scal_row[2], scal_row[3])
+    rdv = (scal_row[4], scal_row[5])
+    center = center_xtx or (with_y and center_xty)
+    scale = scale_x or (with_y and scale_y)
+
+    mX = r1 = None
+    if need_x_mean:
+        sum_h = sum_h * pa1 * pa2  # exact power-of-two column scales
+        sum_l = sum_l * pa1 * pa2
+        sq = None
+        if scale_x:
+            # X-block diagonal of the product = sum of Xv_w (.) Xv_u rows
+            kp = d_h.shape[0]
+            rows = jax.lax.broadcasted_iota(jnp.int32, d_h.shape, 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, d_h.shape, 1)
+            dm = rows == cols
+            sq = (jnp.sum(jnp.where(dm, d_h, 0.0), axis=0, keepdims=True),
+                  jnp.sum(jnp.where(dm, d_l, 0.0), axis=0, keepdims=True))
+        mX, r1 = _df64_side_stats_from_sums(
+            (sum_h, sum_l), sq, gx, sw, rsw, rdv,
+            center or scale_x, scale_x, resolution=resolution,
+        )
+
+    pq = None
+    if center:
+        p = df_mul(mX[0], mX[1], *sw)
+        qx = mX if center_xtx else (jnp.zeros_like(mX[0]),
+                                    jnp.zeros_like(mX[1]))
+        if with_y and center_xty:
+            q = df_add(qx[0], qx[1], yvec[0, 0:1, :], yvec[0, 1:2, :])
+        else:
+            q = qx
+        pq = (p[0][0][:, None], p[1][0][:, None],
+              q[0][0][None, :], q[1][0][None, :])
+
+    i12 = None
+    if scale:
+        ones = jnp.ones_like(d_h[0:1, :])
+        zeros = jnp.zeros_like(d_h[0:1, :])
+        i1 = r1 if scale_x else (ones, zeros)
+        i2y = (yvec[1, 0:1, :], yvec[1, 1:2, :])
+        i2 = (jnp.where(ymask > 0, i2y[0], i1[0]),
+              jnp.where(ymask > 0, i2y[1], i1[1]))
+        i12 = (i1[0][0][:, None], i1[1][0][:, None],
+               i2[0][0][None, :], i2[1][0][None, :])
+
+    return _df64_ref_epilogue_vals(total, d_h, d_l, pq, i12)
+
+
+def _ozaki_v2_kernel(idx_ref, total_ref, saN_ref, sbN_ref, pa_ref, pb_ref,
+                     gx_ref, yvec_ref, ymask_ref, scal_ref, mrow_ref,
+                     out_ref, sa_scr, sb_scr, *, n_l: int, has_mask: bool,
+                     **flags):
+    """Grid (F, Lp): stream each validation row's slice stack into VMEM
+    scratch (masked rows zeroed), then run the whole fold at the last row."""
+    l = pl.program_id(1)
+    row_a = saN_ref[0]  # (S, KP) int8
+    row_b = sbN_ref[0]  # (S, CP) int8
+    if has_mask:
+        m8 = mrow_ref[0, 0, 0, 0].astype(jnp.int8)
+        row_a = row_a * m8
+    sa_scr[l] = row_a
+    sb_scr[l] = row_b
+
+    @pl.when(l == n_l - 1)
+    def _():
+        oh, ol = _ozaki_v2_fold_math(
+            total_ref, sa_scr[:], sb_scr[:], pa_ref[:], pb_ref[:],
+            gx_ref[:], yvec_ref[0], ymask_ref[0:1, :], scal_ref[0, 0],
+            **flags,
+        )
+        out_ref[0, 0] = oh
+        out_ref[0, 1] = ol
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_l", "center_xtx", "center_xty", "scale_x", "scale_y",
+                     "with_y", "has_mask", "resolution", "interpret"),
+)
+def fused_ozaki_downdate_v2(
+    idx: jax.Array,     # (F * Lp,) int32 row index per fold row, fold-major
+    total2: jax.Array,  # (2, KP, CP) total pair planes, KP == CP
+    saN: jax.Array,     # (N, S, KP) int8: dataset slices of weighted X rows
+    sbN: jax.Array,     # (N, S, CP) int8: dataset slices of [X | Y] rows
+    pa: jax.Array,      # (2, KP) f32 exact 2^e half-factors, A side (global)
+    pb: jax.Array,      # (2, CP) f32 half-factors, B side (global)
+    gx: jax.Array,      # (4, KP) global [sum_X, sum_sq_X] pairs
+    yvec: jax.Array,    # (F, 2, 2, CP): [q-part pair, i2-part pair] (Y cols)
+    ymask: jax.Array,   # (1, CP) f32: 1.0 on Y columns
+    scal: jax.Array,    # (F, 1, 128) f32 per-fold scalar pairs
+    mrow: jax.Array,    # (F, Lp, 1, 128) f32 row masks (dummy if not masked)
+    *,
+    n_l: int,
+    center_xtx: bool,
+    center_xty: bool,
+    scale_x: bool,
+    scale_y: bool,
+    with_y: bool,
+    has_mask: bool,
+    resolution: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Slice-plane fused Ozaki downdate -> (F, 2, KP, CP) pairs.
+
+    v2 of :func:`fused_ozaki_downdate_df64`: the dataset is sliced ONCE
+    (global column scales) into int8 planes; the kernel gathers each fold's
+    slice-stack rows itself and derives the X-side statistics from the
+    slices and the product diagonal — no per-fold f64 row gathers, padding,
+    or K-wide stat vectors are ever materialised.
+    """
+    f_folds = idx.shape[0] // n_l
+    n_slices = saN.shape[1]
+    _, kp, cp = total2.shape
+    if kp != cp:
+        raise ValueError(f"requires KP == CP, got ({kp},{cp})")
+    if n_slices * n_l * (1 << (2 * _OZAKI_T_BITS)) >= 2 ** 24:
+        raise ValueError("fold rows too large for single-f32 group sums")
+    row = lambda f, l, idx_ref: (idx_ref[f * n_l + l], f * 0, f * 0)  # noqa: E731
+    c3 = lambda f, l, idx_ref: (f * 0, f * 0, f * 0)  # noqa: E731
+    c2 = lambda f, l, idx_ref: (f * 0, f * 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(f_folds, n_l),
+        in_specs=[
+            pl.BlockSpec((2, kp, cp), c3),
+            pl.BlockSpec((1, n_slices, kp), row),
+            pl.BlockSpec((1, n_slices, cp), row),
+            pl.BlockSpec((2, kp), c2),
+            pl.BlockSpec((2, cp), c2),
+            pl.BlockSpec((4, kp), c2),
+            pl.BlockSpec((1, 2, 2, cp),
+                         lambda f, l, idx_ref: (f, f * 0, f * 0, f * 0)),
+            pl.BlockSpec((1, cp), c2),
+            pl.BlockSpec((1, 1, 128), lambda f, l, idx_ref: (f, f * 0, f * 0)),
+            pl.BlockSpec(
+                (1, 1, 1, 128),
+                (lambda f, l, idx_ref: (f, l, f * 0, f * 0)) if has_mask
+                else (lambda f, l, idx_ref: (f * 0, f * 0, f * 0, f * 0)),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 2, kp, cp),
+                               lambda f, l, idx_ref: (f, f * 0, f * 0, f * 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n_l, n_slices, kp), jnp.int8),
+            pltpu.VMEM((n_l, n_slices, cp), jnp.int8),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _ozaki_v2_kernel, n_l=n_l, has_mask=has_mask,
+            center_xtx=center_xtx, center_xty=center_xty,
+            scale_x=scale_x, scale_y=scale_y, with_y=with_y,
+            resolution=resolution,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((f_folds, 2, kp, cp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(
+                f_folds * kp * cp
+                * (n_slices * (n_slices + 1) * n_l
+                   + 10 * n_slices + 60)
+            ),
+            bytes_accessed=(
+                f_folds * kp * cp * 8 + kp * cp * 8
+                + f_folds * n_l * n_slices * (kp + cp)
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, total2, saN, sbN, pa, pb, gx, yvec, ymask, scal, mrow)
+
+
+def fused_ozaki_v2_reference(
+    idx2d, mask2d, total2, saN, sbN, pa, pb, gx, yvec, ymask, scal, *,
+    center_xtx, center_xty, scale_x, scale_y, with_y, resolution,
+):
+    """Eager reference of :func:`fused_ozaki_downdate_v2` (do NOT jit)."""
+    f_folds, n_l = idx2d.shape
+    outs = []
+    for f in range(int(f_folds)):
+        rows = np.asarray(idx2d[f])
+        sa = saN[rows]  # (Lp, S, KP)
+        sb = sbN[rows]
+        if mask2d is not None:
+            m8 = jnp.asarray(np.asarray(mask2d[f]), jnp.int8)
+            sa = sa * m8[:, None, None]
+        oh, ol = _ozaki_v2_fold_math(
+            total2, sa, sb, pa, pb, gx, yvec[f], ymask[0:1, :], scal[f, 0],
+            center_xtx=center_xtx, center_xty=center_xty, scale_x=scale_x,
+            scale_y=scale_y, with_y=with_y, resolution=resolution,
+        )
+        outs.append(jnp.stack([oh, ol]))
+    return jnp.stack(outs)

@@ -218,3 +218,68 @@ def test_f32_loocv_kernel_interpret(flags):
     scale = max(np.max(np.abs(np.asarray(rx))), 1.0)
     assert np.max(np.abs(got[:, :K, :K] - np.asarray(rx))) < 1e-4 * scale
     assert np.max(np.abs(got[:, :K, K:K + M] - np.asarray(ry))) < 1e-4 * scale
+
+
+# --------------------------------------------------------------------------- #
+# v2 fused Ozaki kernel (dataset slice planes, in-kernel X stats)             #
+# --------------------------------------------------------------------------- #
+
+IDX_V2 = np.arange(96).reshape(2, 48)       # 2 folds of 48 rows
+MASK_V2 = np.ones((2, 48))
+MASK_V2[1, 40:] = 0.0
+
+
+def _run_v2_reference(cfg, st, with_y, idx, mask):
+    src = B.prepare_ozaki_sources(cfg, st, idx, mask, return_XTX=True,
+                                  return_XTY=with_y)
+    pair = KK.fused_ozaki_v2_reference(
+        np.asarray(src.idx), None if src.mask2d is None else
+        np.asarray(src.mask2d),
+        src.total2, src.saN, src.sbN, src.pa, src.pb, src.gx, src.yvec,
+        src.ymask, src.scal,
+        center_xtx=cfg.center_X,
+        center_xty=cfg.center_X or cfg.center_Y,
+        scale_x=cfg.scale_X, scale_y=cfg.scale_Y,
+        with_y=with_y, resolution=cfg.resolution,
+    )
+    return np.asarray(df_to_f64(pair[:, 0], pair[:, 1])), src
+
+
+@pytest.mark.parametrize("flags", [
+    (True, True, True, True), (False, False, False, False),
+    (True, False, False, False), (False, False, False, True),
+    (True, True, False, False), (False, True, True, False),
+    (False, False, True, True),
+])
+@pytest.mark.parametrize("use_w", [True, False])
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_ozaki_v2_math_lattice(flags, use_w, use_mask):
+    """v2 kernel math (eager twin) vs the XLA engine, incl. masks/padding."""
+    cfg = CVConfig(*flags, ddof=1, dtype=np.float64)
+    w = W_ALL if use_w else None
+    mask = MASK_V2 if use_mask else None
+    for with_y in (True, False):
+        st = fit(cfg, X_ALL, Y_ALL if with_y else None, w)
+        assert B.ozaki_v2_ok(cfg, st, True, with_y, IDX_V2.shape[1])
+        got, _ = _run_v2_reference(cfg, st, with_y, IDX_V2, mask)
+        ref = B.training_matrices_batched(
+            cfg, st, IDX_V2, mask, return_XTX=True, return_XTY=with_y,
+            impl="xla",
+        )[0]
+        if with_y:
+            rx, ry = ref
+            assert_allclose(got[:, :K, :K], np.asarray(rx), atol=1e-8)
+            assert_allclose(got[:, :K, K:K + M], np.asarray(ry), atol=1e-8)
+        else:
+            assert_allclose(got[:, :K, :K], np.asarray(ref), atol=1e-8)
+
+
+def test_ozaki_v2_interpret_wiring():
+    """Pallas wiring of the v2 (F, Lp) grid, slice gather, scratch, masks."""
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    st = fit(cfg, X_ALL, Y_ALL, W_ALL)
+    ref, src = _run_v2_reference(cfg, st, True, IDX_V2, MASK_V2)
+    pair = B.ozaki_v2_from_sources(cfg, src, return_XTY=True, interpret=True)
+    got = np.asarray(df_to_f64(pair[:, 0], pair[:, 1]))
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(got - ref)) < 1e-5 * max(scale, 1.0)
