@@ -165,6 +165,10 @@ def cross_validate_reduce(
     n_folds = idx.shape[0]
     mask = None if mask_batch is None else jnp.asarray(mask_batch, config.dtype)
     bs = min(batch_size, n_folds)
+    # Equalize chunk sizes: padding to a multiple of a near-n chunk size
+    # can almost double the sweep (n=1000, bs=953 -> padded to 1906).
+    n_chunks = -(-n_folds // bs)
+    bs = -(-n_folds // n_chunks)
     idx, mask = _pad_folds(idx, mask, bs)
     n_chunks = idx.shape[0] // bs
     idx_c = idx.reshape(n_chunks, bs, *idx.shape[1:])
@@ -269,6 +273,9 @@ def materialize_sweep(
         per_fold = 2 * 8 * max(k * c, 1)
         batch_size = max(1, min(2000, int(hbm_budget_bytes / per_fold)))
     bs = min(batch_size, n_folds)
+    # Equalize chunk sizes (see cross_validate_reduce): pad < n_chunks folds.
+    n_chunks_eq = -(-n_folds // bs)
+    bs = -(-n_folds // n_chunks_eq)
     on_tpu = jax.default_backend() == "tpu"
     use_pairs = impl != "xla" and on_tpu and dt.itemsize == 8
     use_f32_packed = impl != "xla" and on_tpu and dt.itemsize == 4
@@ -338,10 +345,55 @@ def _materialize_sweep_impl(
     # slices plus the packed kernel. Large folds instead route per chunk
     # through the MXU-product paths inside training_matrices_batched
     # (hoisting L-row streams for every fold would blow HBM at scale).
-    from ..core.batch import large_fold_threshold
+    from ..core.batch import (
+        large_fold_threshold,
+        ozaki_v2_ok,
+        ozaki_v2_from_sources,
+        prepare_ozaki_sources,
+    )
 
-    if use_packed and idx.shape[1] < large_fold_threshold(
-            config, state, return_XTX, return_XTY):
+    n_l = idx.shape[1]
+    threshold = large_fold_threshold(config, state, return_XTX, return_XTY)
+    # v2 fused Ozaki: dataset slice planes + in-kernel gather/stats — no
+    # per-fold f64 row gathers or stat vectors in XLA (sweeps don't need
+    # host-visible stats). Measured on a v5e (N=100k, K=500, TTTT):
+    # P=1000 fold phase 188 -> 141 ms; at L=10 the (F, Lp) per-row grid
+    # overhead loses to v1 (362 vs 345 ms), so v2 takes folds of >= 64
+    # rows. Accuracy note: global-scale slicing and the diagonal-derived
+    # squared sums cost ~1 extra bit vs v1 (1.8e-8 abs at XTX ~ 2.5e4,
+    # i.e. ~3e-12 relative — still orders of magnitude inside the
+    # reference's 1e-8-at-test-scale contract).
+    if (
+        use_packed and is_f64 and n_l >= max(threshold, 64)
+        and ozaki_v2_ok(config, state, return_XTX, return_XTY, n_l)
+    ):
+        n = n_chunks * bs
+        src = prepare_ozaki_sources(
+            config, state, idx[:n], None if mask is None else mask[:n],
+            return_XTX=return_XTX, return_XTY=return_XTY,
+        )
+        rows_flat = src.idx.reshape(-1).astype(jnp.int32)
+        lp = src.lp
+        has_mask = src.mask2d is not None
+
+        def body(c, carry):
+            rows = jax.lax.dynamic_slice_in_dim(
+                rows_flat, c * (bs * lp), bs * lp, 0)
+            sc = jax.lax.dynamic_slice_in_dim(src.scal, c * bs, bs, 0)
+            yv = jax.lax.dynamic_slice_in_dim(src.yvec, c * bs, bs, 0)
+            mr = (
+                jax.lax.dynamic_slice_in_dim(src.mrow, c * bs, bs, 0)
+                if has_mask else src.mrow
+            )
+            return ozaki_v2_from_sources(
+                config, src, rows, sc, mr, yv, return_XTY=return_XTY,
+            )
+
+        buf0 = jnp.zeros((bs, 2, src.kp, src.cp), jnp.float32)
+        buf = jax.lax.fori_loop(0, n_chunks, body, buf0)
+        return buf.reshape(-1)[0]
+
+    if use_packed and idx.shape[1] < threshold:
         n = n_chunks * bs
         ops, _ = prepare_fold_operands(
             config, state, idx[:n],

@@ -1580,7 +1580,8 @@ def _ozaki_v2_fold_math(total, sa, sb, pa, pb, gx, yvec, ymask, scal_row, *,
         if need_x_mean:
             # exact int32 column sum of this slice -> f32 (bounded < 2^24)
             csum = jnp.sum(sa[:, s, :].astype(jnp.int32), axis=0,
-                           keepdims=True).astype(jnp.float32)
+                           keepdims=True, dtype=jnp.int32
+                           ).astype(jnp.float32)
             c1 = 2.0 ** (-float(_OZAKI_T_BITS) * (s + 1))
             if sum_h is None:
                 sum_h = csum * c1
@@ -1657,8 +1658,9 @@ def _ozaki_v2_kernel(idx_ref, total_ref, saN_ref, sbN_ref, pa_ref, pb_ref,
     row_a = saN_ref[0]  # (S, KP) int8
     row_b = sbN_ref[0]  # (S, CP) int8
     if has_mask:
-        m8 = mrow_ref[0, 0, 0, 0].astype(jnp.int8)
-        row_a = row_a * m8
+        # select, not multiply: Mosaic has no int8 vector multiply
+        row_a = jnp.where(mrow_ref[0, 0, 0, 0] > 0, row_a,
+                          jnp.zeros_like(row_a))
     sa_scr[l] = row_a
     sb_scr[l] = row_b
 
