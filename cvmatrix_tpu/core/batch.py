@@ -1073,14 +1073,12 @@ def prepare_ozaki_sources(
                 Y_mean[:, 0, :] if (config.center_X or config.center_Y)
                 else jnp.zeros((f_folds, m), config.dtype)
             )
-            buf = jnp.zeros((f_folds, 2, cp), jnp.float32)
             hi, lo = (
                 df_from_f64(qy) if qy.dtype == jnp.float64
                 else (qy.astype(jnp.float32), jnp.zeros_like(qy, jnp.float32))
             )
             yvec = yvec.at[:, 0, 0, k:k + m].set(hi)
             yvec = yvec.at[:, 0, 1, k:k + m].set(lo)
-            del buf
             i2y = (
                 (1.0 / Y_std[:, 0, :]).astype(f64) if config.scale_Y
                 else jnp.ones((f_folds, m), f64)
