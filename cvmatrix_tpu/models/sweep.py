@@ -356,15 +356,15 @@ def _materialize_sweep_impl(
     threshold = large_fold_threshold(config, state, return_XTX, return_XTY)
     # v2 fused Ozaki: dataset slice planes + in-kernel gather/stats — no
     # per-fold f64 row gathers or stat vectors in XLA (sweeps don't need
-    # host-visible stats). Measured on a v5e (N=100k, K=500, TTTT):
-    # P=1000 fold phase 188 -> 141 ms; at L=10 the (F, Lp) per-row grid
-    # overhead loses to v1 (362 vs 345 ms), so v2 takes folds of >= 64
-    # rows. Accuracy note: global-scale slicing and the diagonal-derived
-    # squared sums cost ~1 extra bit vs v1 (1.8e-8 abs at XTX ~ 2.5e4,
-    # i.e. ~3e-12 relative — still orders of magnitude inside the
-    # reference's 1e-8-at-test-scale contract).
+    # host-visible stats). Measured on a v5e (N=100k, K=500, TTTT), with
+    # 8 rows gathered per grid step: P=1000 fold phase 188 -> 118 ms and
+    # P=10000 345 -> 318 ms, so every MXU-path fold size routes here.
+    # Accuracy note: global-scale slicing and the diagonal-derived squared
+    # sums cost ~1 extra bit vs v1 (~2e-8 abs at XTX ~ 2.5e4, i.e. ~1e-12
+    # relative — still orders of magnitude inside the reference's
+    # 1e-8-at-test-scale contract).
     if (
-        use_packed and is_f64 and n_l >= max(threshold, 64)
+        use_packed and is_f64 and n_l >= threshold
         and ozaki_v2_ok(config, state, return_XTX, return_XTY, n_l)
     ):
         n = n_chunks * bs

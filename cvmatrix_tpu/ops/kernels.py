@@ -1648,23 +1648,28 @@ def _ozaki_v2_fold_math(total, sa, sb, pa, pb, gx, yvec, ymask, scal_row, *,
     return _df64_ref_epilogue_vals(total, d_h, d_l, pq, i12)
 
 
-def _ozaki_v2_kernel(idx_ref, total_ref, saN_ref, sbN_ref, pa_ref, pb_ref,
-                     gx_ref, yvec_ref, ymask_ref, scal_ref, mrow_ref,
-                     out_ref, sa_scr, sb_scr, *, n_l: int, has_mask: bool,
-                     **flags):
-    """Grid (F, Lp): stream each validation row's slice stack into VMEM
-    scratch (masked rows zeroed), then run the whole fold at the last row."""
+def _ozaki_v2_kernel(idx_ref, total_ref, *rest, n_l: int, has_mask: bool,
+                     rows_per_step: int, **flags):
+    """Grid (F, Lp / G): stream G validation rows' slice stacks per step
+    into VMEM scratch (masked rows zeroed), then run the whole fold at the
+    last step. G amortises the per-step grid overhead for small folds."""
+    g = rows_per_step
+    sa_refs = rest[0:g]
+    sb_refs = rest[g:2 * g]
+    (pa_ref, pb_ref, gx_ref, yvec_ref, ymask_ref, scal_ref, mrow_ref,
+     out_ref, sa_scr, sb_scr) = rest[2 * g:]
     l = pl.program_id(1)
-    row_a = saN_ref[0]  # (S, KP) int8
-    row_b = sbN_ref[0]  # (S, CP) int8
-    if has_mask:
-        # select, not multiply: Mosaic has no int8 vector multiply
-        row_a = jnp.where(mrow_ref[0, 0, 0, 0] > 0, row_a,
-                          jnp.zeros_like(row_a))
-    sa_scr[l] = row_a
-    sb_scr[l] = row_b
+    for j in range(g):
+        row_a = sa_refs[j][0]  # (S, KP) int8
+        row_b = sb_refs[j][0]  # (S, CP) int8
+        if has_mask:
+            # select, not multiply: Mosaic has no int8 vector multiply
+            row_a = jnp.where(mrow_ref[0, j, 0, 0] > 0, row_a,
+                              jnp.zeros_like(row_a))
+        sa_scr[l * g + j] = row_a
+        sb_scr[l * g + j] = row_b
 
-    @pl.when(l == n_l - 1)
+    @pl.when(l == n_l // g - 1)
     def _():
         oh, ol = _ozaki_v2_fold_math(
             total_ref, sa_scr[:], sb_scr[:], pa_ref[:], pb_ref[:],
@@ -1718,16 +1723,26 @@ def fused_ozaki_downdate_v2(
         raise ValueError(f"requires KP == CP, got ({kp},{cp})")
     if n_slices * n_l * (1 << (2 * _OZAKI_T_BITS)) >= 2 ** 24:
         raise ValueError("fold rows too large for single-f32 group sums")
-    row = lambda f, l, idx_ref: (idx_ref[f * n_l + l], f * 0, f * 0)  # noqa: E731
+    # Rows gathered per grid step: amortises the per-step overhead that
+    # dominates small folds (the row DMAs are ~10 KB each).
+    g = 8 if n_l % 8 == 0 else 1
     c3 = lambda f, l, idx_ref: (f * 0, f * 0, f * 0)  # noqa: E731
     c2 = lambda f, l, idx_ref: (f * 0, f * 0)  # noqa: E731
+
+    def row_map(j, width):
+        return pl.BlockSpec(
+            (1, n_slices, width),
+            lambda f, l, idx_ref, j=j: (idx_ref[f * n_l + l * g + j],
+                                        f * 0, f * 0),
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(f_folds, n_l),
+        grid=(f_folds, n_l // g),
         in_specs=[
             pl.BlockSpec((2, kp, cp), c3),
-            pl.BlockSpec((1, n_slices, kp), row),
-            pl.BlockSpec((1, n_slices, cp), row),
+            *[row_map(j, kp) for j in range(g)],
+            *[row_map(j, cp) for j in range(g)],
             pl.BlockSpec((2, kp), c2),
             pl.BlockSpec((2, cp), c2),
             pl.BlockSpec((4, kp), c2),
@@ -1736,7 +1751,7 @@ def fused_ozaki_downdate_v2(
             pl.BlockSpec((1, cp), c2),
             pl.BlockSpec((1, 1, 128), lambda f, l, idx_ref: (f, f * 0, f * 0)),
             pl.BlockSpec(
-                (1, 1, 1, 128),
+                (1, g, 1, 128),
                 (lambda f, l, idx_ref: (f, l, f * 0, f * 0)) if has_mask
                 else (lambda f, l, idx_ref: (f * 0, f * 0, f * 0, f * 0)),
             ),
@@ -1750,7 +1765,7 @@ def fused_ozaki_downdate_v2(
     )
     return pl.pallas_call(
         functools.partial(
-            _ozaki_v2_kernel, n_l=n_l, has_mask=has_mask,
+            _ozaki_v2_kernel, n_l=n_l, has_mask=has_mask, rows_per_step=g,
             center_xtx=center_xtx, center_xty=center_xty,
             scale_x=scale_x, scale_y=scale_y, with_y=with_y,
             resolution=resolution,
@@ -1773,7 +1788,8 @@ def fused_ozaki_downdate_v2(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(idx, total2, saN, sbN, pa, pb, gx, yvec, ymask, scal, mrow)
+    )(idx, total2, *([saN] * g), *([sbN] * g), pa, pb, gx, yvec, ymask,
+      scal, mrow)
 
 
 def fused_ozaki_v2_reference(
