@@ -947,7 +947,7 @@ def ozaki_v2_ok(config: CVConfig, state: FitState, return_XTX: bool,
         and np.dtype(config.dtype).itemsize == 8
         and config.matmul_mode in ("auto", "exact")
         and _round_up(max(state.K, 8), 128) <= 512
-        and 10 * lp * 4096 < 2 ** 24
+        and 10 * lp * 65 * 65 < 2 ** 24
     )
 
 

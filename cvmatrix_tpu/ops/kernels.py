@@ -1721,7 +1721,8 @@ def fused_ozaki_downdate_v2(
     _, kp, cp = total2.shape
     if kp != cp:
         raise ValueError(f"requires KP == CP, got ({kp},{cp})")
-    if n_slices * n_l * (1 << (2 * _OZAKI_T_BITS)) >= 2 ** 24:
+    # 65^2: pair-rounded slices can reach +-(2^T_BITS + 1).
+    if n_slices * n_l * 65 * 65 >= 2 ** 24:
         raise ValueError("fold rows too large for single-f32 group sums")
     # Rows gathered per grid step: amortises the per-step overhead that
     # dominates small folds (the row DMAs are ~10 KB each).
@@ -1813,3 +1814,102 @@ def fused_ozaki_v2_reference(
         )
         outs.append(jnp.stack([oh, ol]))
     return jnp.stack(outs)
+
+
+# --------------------------------------------------------------------------- #
+# Mantissa slicing kernel: f32-pair rounding, ~3x cheaper than emulated f64   #
+# --------------------------------------------------------------------------- #
+
+
+def _slice_rows_math(x_h, x_l, p1, p2, n_slices):
+    """Slice a pre-padded pair block into int8 mantissa slices.
+
+    ``x = x_h + x_l`` scaled by the exact power-of-two factors ``p1 * p2``
+    (per column). Per round: ``q0 = round(r_h)`` plus a +-1 correction from
+    the pair tail, so the emitted integer is within 1 of the true rounding
+    — the residual subtracts exactly what was emitted, keeping the slice
+    decomposition EXACT (slice values stay within [-65, 65], still int8,
+    and products still fit the int32 budget). ~12 f32 flops per element per
+    round vs ~30 for the emulated-f64 slicing chain.
+    """
+    r_h = x_h * p1 * p2
+    r_l = x_l * p1 * p2
+    mul = float(1 << _OZAKI_T_BITS)
+    out = []
+    for _ in range(n_slices):
+        r_h = r_h * mul
+        r_l = r_l * mul
+        q0 = jnp.round(r_h)
+        d = (r_h - q0) + r_l          # (r_h - q0) exact: both near integers
+        adj = jnp.round(d)
+        out.append((q0 + adj).astype(jnp.int8))
+        t, e = two_sum(r_h - q0 - adj, r_l)
+        r_h, r_l = t, e
+    return out
+
+
+def _slice_rows_kernel(xh_ref, xl_ref, p_ref, out_ref, *, n_slices: int,
+                       row_major: bool):
+    sl = _slice_rows_math(xh_ref[:], xl_ref[:], p_ref[0:1, :], p_ref[1:2, :],
+                          n_slices)
+    for s in range(n_slices):
+        if row_major:
+            out_ref[:, s, :] = sl[s]
+        else:
+            out_ref[s] = sl[s]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_slices", "row_major", "block_rows",
+                              "interpret"),
+)
+def slice_rows(
+    xh: jax.Array,   # (N, K) f32 hi plane (pre-padded columns)
+    xl: jax.Array,   # (N, K) f32 lo plane
+    pows: jax.Array,  # (2, K) f32 exact 2^-e half-factors
+    *,
+    n_slices: int = 10,
+    row_major: bool = True,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Mantissa slices of pair rows -> (N, S, K) int8 (or (S, N, K)).
+
+    ``row_major=True`` lays slices per row (the v2 fused kernel's gather
+    layout); ``False`` lays them slice-major (the layout the XLA
+    prefix-stack contraction consumes). N must be a multiple of
+    ``block_rows``.
+    """
+    n, k = xh.shape
+    if n % block_rows:
+        raise ValueError(f"N={n} not a multiple of block_rows={block_rows}")
+    grid = (n // block_rows,)
+    if row_major:
+        out_shape = jax.ShapeDtypeStruct((n, n_slices, k), jnp.int8)
+        out_spec = pl.BlockSpec((block_rows, n_slices, k),
+                                lambda i: (i, i * 0, i * 0))
+    else:
+        out_shape = jax.ShapeDtypeStruct((n_slices, n, k), jnp.int8)
+        out_spec = pl.BlockSpec((n_slices, block_rows, k),
+                                lambda i: (i * 0, i, i * 0))
+    return pl.pallas_call(
+        functools.partial(_slice_rows_kernel, n_slices=n_slices,
+                          row_major=row_major),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, k), lambda i: (i, i * 0)),
+            pl.BlockSpec((block_rows, k), lambda i: (i, i * 0)),
+            pl.BlockSpec((2, k), lambda i: (i * 0, i * 0)),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n_slices * n * k,
+            bytes_accessed=n * k * (8 + n_slices),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xh, xl, pows)

@@ -109,3 +109,32 @@ def test_ozaki_group_paths_both_branches():
         got = np.asarray(ozaki_contract(a, b))
         ref = np.asarray(a).T @ np.asarray(b)
         assert np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)) < 1e-12
+
+
+def test_slice_rows_kernel_exact_decomposition():
+    """Pair-arithmetic slicing: exact decomposition, int8 range, layouts."""
+    from cvmatrix_tpu.ops.df64 import df_from_f64
+    from cvmatrix_tpu.ops.kernels import slice_rows
+    from cvmatrix_tpu.ops.precise import _column_scale, _pow2
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(256, 128)) * 10.0 ** rng.integers(-6, 6, (1, 128))
+    e = _column_scale(jnp.asarray(x))
+    h1 = jnp.clip(-e, -127, 127)
+    pows = jnp.stack([jnp.ldexp(jnp.float32(1.0), h1),
+                      jnp.ldexp(jnp.float32(1.0), -e - h1)])
+    xh, xl = df_from_f64(jnp.asarray(x))
+    for row_major in (True, False):
+        sl = np.asarray(slice_rows(xh, xl, pows, row_major=row_major,
+                                   interpret=True))
+        if row_major:
+            assert sl.shape == (256, 10, 128)
+            stack = np.moveaxis(sl, 1, 0).astype(np.float64)
+        else:
+            assert sl.shape == (10, 256, 128)
+            stack = sl.astype(np.float64)
+        assert np.abs(stack).max() <= 65
+        recon = sum(stack[s] * 2.0 ** (-6 * (s + 1)) for s in range(10))
+        scaled = x * np.asarray(_pow2(-e))[None, :]
+        # residual below 2^-60 of the (column-max) scale
+        assert np.max(np.abs(recon - scaled)) < 2.0 ** -58
