@@ -47,9 +47,14 @@ __all__ = [
     "fused_downdate",
     "fused_downdate_df64",
     "fused_downdate_df64_packed",
+    "fused_downdate_f32_packed",
     "fused_epilogue_df64",
     "fused_loocv_df64",
+    "fused_loocv_f32",
     "fused_ozaki_downdate_df64",
+    "fused_ozaki_downdate_v2",
+    "fused_smallfold_df64",
+    "slice_rows",
 ]
 
 
@@ -224,6 +229,12 @@ def fused_downdate_df64(
     shape costs a full HBM round-trip, which padding-aware consumers (the
     sweep drivers) skip.
     """
+    if total4.shape[0] != 4:
+        raise ValueError(
+            "total4 must carry 4 planes (t_hi, t_lo, split(t_hi) hi/lo); "
+            f"got {total4.shape[0]}. Zero-padding a 2-plane total would "
+            "silently corrupt the scaled epilogue's Dekker split."
+        )
     _, f_folds, n_l, k = u.shape
     c = v.shape[3]
     kp = _round_up(max(k, 8), 128)
