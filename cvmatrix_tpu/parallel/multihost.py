@@ -33,6 +33,7 @@ from .distributed import ROWS, fit_sharded, make_mesh
 __all__ = [
     "initialize",
     "global_mesh",
+    "host_row_ranges",
     "host_row_slice",
     "fit_sharded_multihost",
 ]
@@ -66,24 +67,41 @@ def global_mesh() -> Mesh:
     return make_mesh(jax.devices())
 
 
-def host_row_slice(n_rows: int, mesh: Mesh) -> Tuple[int, int]:
-    """[start, stop) of the dataset rows this process should load.
+def host_row_ranges(n_rows: int, mesh: Mesh) -> list:
+    """Per-local-device ``(device, start, stop)`` dataset row ranges.
 
-    Rows are padded (virtually) to a multiple of the device count; the last
-    process's stop is clamped to ``n_rows``. Use together with
-    :func:`fit_sharded_multihost`.
+    Derived from the ACTUAL device -> process map: mesh-flat position ``i``
+    owns global rows ``[i * per_shard, (i + 1) * per_shard)`` (last ranges
+    clamped to ``n_rows``), and this process is responsible for exactly the
+    positions whose device it hosts — contiguous or not. This is the
+    loading contract for :func:`fit_sharded_multihost`: pass the
+    concatenation of these ranges' rows, in this order.
     """
     n_dev = mesh.devices.size
     per_shard = -(-n_rows // n_dev)  # ceil
-    local = [d for d in mesh.devices.flat if d.process_index == jax.process_index()]
-    firsts = sorted(
-        i for i, d in enumerate(mesh.devices.flat)
-        if d.process_index == jax.process_index()
-    )
-    start = firsts[0] * per_shard
-    stop = min((firsts[-1] + 1) * per_shard, n_rows)
-    del local
-    return start, min(start + max(0, stop - start), n_rows)
+    me = jax.process_index()
+    return [
+        (d, min(i * per_shard, n_rows), min((i + 1) * per_shard, n_rows))
+        for i, d in enumerate(mesh.devices.flat)
+        if d.process_index == me
+    ]
+
+
+def host_row_slice(n_rows: int, mesh: Mesh) -> Tuple[int, int]:
+    """[start, stop) of the dataset rows this process should load.
+
+    Only valid when this process's shards are CONTIGUOUS in mesh-flat
+    order; a non-contiguous process -> device layout raises instead of
+    silently mis-assigning rows — use :func:`host_row_ranges` there.
+    """
+    ranges = host_row_ranges(n_rows, mesh)
+    for (_, _, stop0), (_, start1, _) in zip(ranges, ranges[1:]):
+        if start1 != stop0:
+            raise ValueError(
+                "This process's device shards are not contiguous in "
+                "mesh-flat order; load per host_row_ranges() instead."
+            )
+    return ranges[0][1], ranges[-1][2]
 
 
 def fit_sharded_multihost(
@@ -97,10 +115,12 @@ def fit_sharded_multihost(
 ) -> FitState:
     """Sharded fit from host-local row blocks.
 
-    Each process passes only ITS rows (per :func:`host_row_slice`); the
-    global row-sharded arrays are assembled with
-    ``jax.make_array_from_process_local_data`` and the standard sharded fit
-    runs on top. With one process this is exactly :func:`fit_sharded`.
+    Each process passes only ITS rows — the concatenation of its
+    :func:`host_row_ranges` ranges, in that order; the global row-sharded
+    arrays are assembled per-device with
+    ``jax.make_array_from_single_device_arrays`` (correct for ANY
+    process -> device layout, contiguous or not) and the standard sharded
+    fit runs on top. With one process this is exactly :func:`fit_sharded`.
     """
     if jax.process_count() == 1:
         return fit_sharded(config, mesh, host_X, host_Y, host_weights)
@@ -110,38 +130,53 @@ def fit_sharded_multihost(
         raise ValueError("n_rows_global is required with multiple processes.")
     per_shard = -(-n_rows_global // n_dev)
     n_padded = per_shard * n_dev
+    ranges = host_row_ranges(n_rows_global, mesh)
+    n_local = sum(stop - start for _, start, stop in ranges)
 
     dtype = config.dtype
     row = NamedSharding(mesh, P(ROWS, None))
 
-    def build(host_block, width, pad_value=0.0):
+    # Host-side pre-flight (the single-process branch validates inside
+    # fit(); here fit runs with validate=False under jit, so the check
+    # must happen on the host blocks — each process checks its own rows).
+    if host_weights is not None and np.any(np.asarray(host_weights) < 0):
+        raise ValueError("Weights must be non-negative.")
+
+    def build(host_block, pad_value=0.0):
         if host_block is None:
             return None
         hb = np.asarray(host_block, dtype=dtype)
         if hb.ndim == 1:
             hb = hb[:, None]
-        start, stop = host_row_slice(n_rows_global, mesh)
-        want = sum(
-            per_shard for d in mesh.devices.flat
-            if d.process_index == jax.process_index()
-        )
-        if hb.shape[0] < want:  # zero-pad this host's tail shard
-            hb = np.concatenate(
-                [hb, np.full((want - hb.shape[0], hb.shape[1]), pad_value, dtype)]
+        if hb.shape[0] != n_local:
+            raise ValueError(
+                f"host block has {hb.shape[0]} rows; this process owns "
+                f"{n_local} (load per host_row_ranges())."
             )
-        return jax.make_array_from_process_local_data(row, hb,
-                                                      (n_padded, hb.shape[1]))
+        shards, off = [], 0
+        for dev, start, stop in ranges:
+            blk = hb[off : off + (stop - start)]
+            off += stop - start
+            if blk.shape[0] < per_shard:  # zero-pad a clamped tail shard
+                blk = np.concatenate([
+                    blk,
+                    np.full((per_shard - blk.shape[0], hb.shape[1]),
+                            pad_value, dtype),
+                ])
+            shards.append(jax.device_put(blk, dev))
+        return jax.make_array_from_single_device_arrays(
+            (n_padded, hb.shape[1]), row, shards
+        )
 
     # Zero-weight padding preserves all statistics exactly (see
     # distributed._pad_rows); unweighted data gets unit weights with zero
     # pads for the same reason.
     w = host_weights
     if w is None:
-        start, stop = host_row_slice(n_rows_global, mesh)
-        w = np.ones(max(0, stop - start), dtype)
-    Xg = build(host_X, None)
-    Yg = build(host_Y, None)
-    wg = build(w, None, pad_value=0.0)
+        w = np.ones(n_local, dtype)
+    Xg = build(host_X)
+    Yg = build(host_Y)
+    wg = build(w, pad_value=0.0)
 
     from functools import partial
 

@@ -35,6 +35,59 @@ def make_dataset(n: int = 600, k: int = 8, m: int = 2, seed: int = SEED):
     return X, Y, folds, weights
 
 
+_NIR_CACHE: dict = {}
+
+
+def make_nir_like_dataset(n: int = 26617, k: int = 102, m: int = 10,
+                          seed: int = SEED):
+    """Deterministic synthetic analogue of the reference's NIR grain dataset.
+
+    The reference suite downloads 26617x102 NIR spectra with 10 targets and
+    a 3-valued ``split`` column over HTTP (ref ``tests/load_data.py:28-69``,
+    used at ``tests/test_cvmatrix.py:48-49, 544-549``); this environment has
+    no egress, so we synthesise data with the same structure and scale:
+
+    - X: absorbance-like spectra ``-log10(reflectance)`` where reflectance
+      is a smooth positive curve per row (Gaussian bands on a gentle
+      baseline, like grain NIR channels) — columns are strongly correlated,
+      values O(0.1..1), exactly the conditioning regime of the real data.
+    - Y: 10 targets (2 composition-like columns correlated with band
+      depths + 8 noisier auxiliaries), like Protein/Moisture + extras.
+    - split: 3 unequal natural folds (the dataset's packaging plants).
+
+    Results are memoised per (n, k, m, seed) — the suite imports this from
+    several modules.
+    """
+    key = (n, k, m, seed)
+    if key not in _NIR_CACHE:
+        rng = np.random.default_rng(seed + 7)
+        wl = np.linspace(0.0, 1.0, k)[None, :]
+        refl = 0.35 + 0.25 * np.exp(
+            -((wl - 0.5) ** 2) / 0.18
+        ) + 0.05 * wl  # shared instrument baseline
+        refl = np.broadcast_to(refl, (n, k)).copy()
+        centers = rng.uniform(0.1, 0.9, size=(6,))
+        widths = rng.uniform(0.003, 0.03, size=(6,))
+        depths = rng.random((n, 6)) * np.array([0.2, 0.15, 0.1, 0.1, 0.05,
+                                                0.05])
+        for b in range(6):
+            refl -= depths[:, b : b + 1] * np.exp(
+                -((wl - centers[b]) ** 2) / widths[b]
+            )
+        refl *= 1.0 + 0.08 * rng.normal(size=(n, 1))  # multiplicative scatter
+        refl += 0.002 * rng.normal(size=(n, k))  # detector noise
+        X = -np.log10(np.clip(refl, 1e-3, None))
+        comp = depths[:, :2] @ np.array([[9.0, 1.0], [1.5, 12.0]])
+        aux = depths @ rng.normal(size=(6, m - 2)) + 0.1 * rng.normal(
+            size=(n, m - 2)
+        )
+        Y = np.concatenate([10.0 + comp, aux], axis=1)[:, :m]
+        folds = rng.choice([0, 1, 2], size=n, p=[0.45, 0.35, 0.2])
+        weights = rng.random(n)
+        _NIR_CACHE[key] = (X, Y, folds, weights)
+    return _NIR_CACHE[key]
+
+
 def zero_fraction(weights: np.ndarray, frac: float = 0.1, seed: int = SEED):
     """Randomly zero a fraction of the weights (ref test_cvmatrix.py:109-122)."""
     rng = np.random.default_rng(seed + 1)

@@ -58,6 +58,40 @@ idx = np.arange(8)[None, :]  # one fold = rows 0..7
 (fxtx, fxty), _ = sharded_training_matrices(cfg, state, idx, None, mesh=mesh)
 fxtx = np.asarray(jax.device_get(fxtx[0]))
 
+# --- NON-CONTIGUOUS process->device layout (VERDICT r1 item 9) ---------
+# Interleave the processes' devices in mesh-flat order: [p0d0, p1d0,
+# p0d1, p1d1]. host_row_slice must refuse (it would mis-assign rows);
+# host_row_ranges + fit_sharded_multihost must still produce the right
+# globals.
+from jax.sharding import Mesh
+devs = sorted(jax.devices(), key=lambda d: (d.id % 2, d.process_index))
+imesh = Mesh(np.array(devs), ("rows",))
+noncontig = [d.process_index for d in devs] not in ([0, 0, 1, 1], [1, 1, 0, 0])
+if noncontig:
+    try:
+        multihost.host_row_slice(N, imesh)
+        raise SystemExit("host_row_slice accepted a non-contiguous layout")
+    except ValueError:
+        pass
+ranges = multihost.host_row_ranges(N, imesh)
+hb_rows = np.concatenate([np.arange(s, t) for _, s, t in ranges])
+istate = multihost.fit_sharded_multihost(
+    cfg, imesh, X[hb_rows], Y[hb_rows], w[hb_rows], n_rows_global=N
+)
+ixtx = np.asarray(jax.device_get(istate.XTX))
+
+# negative weights must raise on the multi-process branch too (all rows
+# negative so BOTH processes raise before any collective — one process
+# proceeding alone would deadlock the cluster rather than fail).
+bad = -np.abs(w) - 1.0
+try:
+    multihost.fit_sharded_multihost(
+        cfg, imesh, X[hb_rows], Y[hb_rows], bad[hb_rows], n_rows_global=N
+    )
+    raise SystemExit("negative weights accepted on multiprocess branch")
+except ValueError:
+    pass
+
 if pid == 0:
     # single-process truth
     WX = X * w[:, None]
@@ -65,6 +99,9 @@ if pid == 0:
     err = float(np.max(np.abs(xtx - ref)))
     assert err < 1e-10, f"multiprocess fit mismatch: {err}"
     assert abs(sum_w - w.sum()) < 1e-10
+    ierr = float(np.max(np.abs(ixtx - ref)))
+    assert noncontig, "interleaved mesh was unexpectedly contiguous"
+    assert ierr < 1e-10, f"non-contiguous-layout fit mismatch: {ierr}"
 
     # fold truth: recompute training XTX from scratch (all-on config)
     ti = np.arange(8, N)
