@@ -161,8 +161,14 @@ def prepare_fold_operands(
     block_k: int = 512,
     block_c: int = 512,
     with_stats: bool = True,
+    blocks_stats=None,
 ):
     """Kernel operands (and optionally stats) for a batch of folds.
+
+    ``blocks_stats=(blocks, stats5)`` skips the gather+stats phase and
+    builds operands from pre-assembled batched :class:`FoldBlocks` — the
+    mesh path gathers validation rows with a mask-and-psum collective
+    first and feeds them here (``idx_batch`` may then be ``None``).
 
     Everything data-layout related happens here, once: gathers, downdated
     statistics, reciprocal stds, factor scaling, f64 -> f32 pair conversion,
@@ -180,15 +186,21 @@ def prepare_fold_operands(
     with the center term zeroed per side via the q vector (XTX centers iff
     center_X; XTY iff center_X or center_Y — reference ``:863,:893``).
     """
-    idx = jnp.asarray(idx_batch)
-    mask = None if mask_batch is None else jnp.asarray(mask_batch, config.dtype)
-    blocks, stats5 = _gather_and_stats(
-        config, state, idx, mask, return_XTX, return_XTY
-    )
+    if blocks_stats is None:
+        idx = jnp.asarray(idx_batch)
+        mask = (
+            None if mask_batch is None
+            else jnp.asarray(mask_batch, config.dtype)
+        )
+        blocks, stats5 = _gather_and_stats(
+            config, state, idx, mask, return_XTX, return_XTY
+        )
+    else:
+        blocks, stats5 = blocks_stats
     X_mean, X_std, Y_mean, Y_std, sum_w_train = stats5
     stats = (X_mean, X_std, Y_mean, Y_std)
 
-    f_folds, n_l = idx.shape
+    f_folds, n_l = blocks.Xv_w.shape[:2]
     k = state.K
     m = state.M if return_XTY else 0
     c = (k if return_XTX else 0) + m
@@ -550,12 +562,13 @@ def smallfold_from_sources(config: CVConfig, src: LoocvSources, rows,
     )
 
 
-def downdate_from_operands(ops: FoldOperands, *, block_k=512, block_c=512):
+def downdate_from_operands(ops: FoldOperands, *, block_k=512, block_c=512,
+                           interpret=False):
     """Run the packed df64 kernel; returns raw (F, 2, Kp, Cp) pairs."""
     return kernels.fused_downdate_df64_packed(
         ops.total4, ops.u, ops.v, ops.kvec, ops.cvec,
         center=ops.center, scale=ops.scale,
-        block_k=block_k, block_c=block_c,
+        block_k=block_k, block_c=block_c, interpret=interpret,
     )
 
 
@@ -672,6 +685,95 @@ def training_matrices_batched(
     return out, stats
 
 
+def stats_from_blocks(config, state, blocks, return_XTX=True,
+                      return_XTY=True):
+    """Vmapped training statistics from pre-gathered batched FoldBlocks."""
+    flags = _stat_flags(config, return_XTX, return_XTY)
+
+    def one(blks):
+        return _compute_training_stats(config, state, blks, check=False,
+                                       **flags)
+
+    return jax.vmap(one)(blocks)
+
+
+def batched_matrices_from_blocks(
+    config: CVConfig,
+    state: FitState,
+    blocks,
+    stats5=None,
+    *,
+    return_XTX: bool = True,
+    return_XTY: bool = True,
+    impl: str = "auto",
+    interpret: bool = False,
+):
+    """Training matrices for pre-gathered batched :class:`FoldBlocks`.
+
+    The mesh fold path: validation rows arrive from a mask-and-psum gather
+    over the row shards (``parallel.distributed``), so this entry runs the
+    SAME kernel routing as :func:`training_matrices_batched` minus the
+    gather — packed df64 kernel for small folds, MXU product + epilogue
+    (fused Ozaki where eligible) for large ones. Shard-local: no
+    collectives, safe inside ``shard_map``. ``interpret=True`` runs the
+    Pallas kernels in interpret mode (CPU wiring tests).
+
+    Returns ``(mats, (X_mean, X_std, Y_mean, Y_std))`` with f64 matrices,
+    exactly like ``vmap(training_matrices_from_blocks)``.
+    """
+    if stats5 is None:
+        stats5 = stats_from_blocks(config, state, blocks, return_XTX,
+                                   return_XTY)
+    dt = np.dtype(config.dtype)
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "pallas" if (on_tpu and dt.itemsize in (4, 8)) else "xla"
+    if impl == "xla":
+        from .fold import training_matrices_from_blocks
+
+        def one(blks):
+            return training_matrices_from_blocks(
+                config, state, blks,
+                return_XTX=return_XTX, return_XTY=return_XTY,
+            )
+
+        return jax.vmap(one)(blocks)
+    if impl != "pallas":
+        raise ValueError(f"Unknown impl: {impl!r} (auto|pallas|xla).")
+
+    n_l = blocks.Xv_w.shape[1]
+    is_f64 = dt.itemsize == 8
+    if (
+        is_f64
+        and n_l >= large_fold_threshold(config, state, return_XTX, return_XTY)
+    ):
+        pair_out, stats, k, c = _large_fold_pallas_path(
+            config, state, None, None,
+            return_XTX=return_XTX, return_XTY=return_XTY,
+            blocks_stats=(blocks, stats5), interpret=interpret,
+        )
+        out = df_to_f64(pair_out[:, 0, :k, :c], pair_out[:, 1, :k, :c])
+    else:
+        ops, stats = prepare_fold_operands(
+            config, state, None,
+            return_XTX=return_XTX, return_XTY=return_XTY,
+            blocks_stats=(blocks, stats5),
+        )
+        k, c = ops.k, ops.c
+        if is_f64:
+            pair_out = downdate_from_operands(ops, interpret=interpret)
+            out = df_to_f64(pair_out[:, 0, :k, :c], pair_out[:, 1, :k, :c])
+        else:
+            out32 = kernels.fused_downdate_f32_packed(
+                ops.total4, ops.u, ops.v, ops.kvec, ops.cvec,
+                center=ops.center, scale=ops.scale, interpret=interpret,
+            )
+            out = out32[:, :k, :c]
+    if return_XTX and return_XTY:
+        return (out[:, :, :k], out[:, :, k:]), stats
+    return out, stats
+
+
 # Folds with at least this many validation rows compute their downdate
 # product on the MXU (exact int8-slice contraction) instead of as an L-step
 # double-float VPU accumulation. Two thresholds: when the FUSED Ozaki
@@ -708,7 +810,8 @@ def large_fold_threshold(config, state, return_XTX, return_XTY) -> int:
 
 
 def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
-                            return_XTY, total_planes=None):
+                            return_XTY, total_planes=None,
+                            blocks_stats=None, interpret=False):
     """MXU downdate product + one-pass df64 epilogue (large folds).
 
     Computes ``prod[f] = Xv_w[f]^T @ [Xv_u | Yv_u][f]`` with the exact
@@ -720,12 +823,15 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
     """
     from ..ops.precise import contract
 
-    blocks, stats5 = _gather_and_stats(
-        config, state, idx, mask, return_XTX, return_XTY
-    )
+    if blocks_stats is None:
+        blocks, stats5 = _gather_and_stats(
+            config, state, idx, mask, return_XTX, return_XTY
+        )
+    else:
+        blocks, stats5 = blocks_stats
     X_mean, X_std, Y_mean, Y_std, sum_w_train = stats5
     stats = (X_mean, X_std, Y_mean, Y_std)
-    f_folds = idx.shape[0]
+    f_folds = blocks.Xv_w.shape[0]
     # At genomics-wide K every padded column costs megabytes across four
     # (Kp, Cp)-sized buffers: _padded_dims picks 128-blocks there so the
     # padding stays ~0.5% instead of rounding up to 512 multiples.
@@ -750,7 +856,7 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
     # Column-pad the ROW OPERANDS (cheap: L rows) so the contraction emits
     # the product directly in kernel layout — padding the (Kp, Cp) product
     # afterwards would materialise a multi-GB scatter at genomics-wide K.
-    n_l = idx.shape[1]
+    n_l = blocks.Xv_w.shape[1]
     from ..ops.precise import _use_exact, row_slice_operands
 
     # Fused path: slice stacks feed ONE kernel doing the int8 MXU products,
@@ -825,12 +931,13 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
     if use_fused:
         pair_out = kernels.fused_ozaki_downdate_df64(
             total_planes, sa, sb, pa, pb, kvec, cvec,
-            center=center, scale=scale,
+            center=center, scale=scale, interpret=interpret,
         )
     else:
         pair_out = kernels.fused_epilogue_df64(
             total_planes, prod_hi, prod_lo, kvec, cvec,
             center=center, scale=scale, block_k=blk, block_c=blk,
+            interpret=interpret,
         )
     return pair_out, stats, k, c
 

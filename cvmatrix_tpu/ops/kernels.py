@@ -368,7 +368,8 @@ def _df64_tile_epilogue(total_ref, d_h, d_l, pq, i12, *, presplit_total):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("center", "scale", "block_k", "block_c")
+    jax.jit,
+    static_argnames=("center", "scale", "block_k", "block_c", "interpret"),
 )
 def fused_downdate_df64_packed(
     total4: jax.Array,  # (4 or 2, Kp, Cp), already padded to tile multiples
@@ -381,6 +382,7 @@ def fused_downdate_df64_packed(
     scale: bool,
     block_k: int = 512,
     block_c: int = 512,
+    interpret: bool = False,
 ) -> jax.Array:
     """Pre-padded, pre-packed double-float downdate -> (F, 2, Kp, Cp).
 
@@ -433,6 +435,7 @@ def fused_downdate_df64_packed(
             ),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(total4, u, v, kvec, cvec)
     return out
 
@@ -512,7 +515,8 @@ def _df64_epilogue_kernel(total_ref, prod_h_ref, prod_l_ref, kv_ref, cv_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("center", "scale", "block_k", "block_c")
+    jax.jit,
+    static_argnames=("center", "scale", "block_k", "block_c", "interpret"),
 )
 def fused_epilogue_df64(
     total_planes: jax.Array,  # (2, Kp, Cp) pair (padded)
@@ -525,6 +529,7 @@ def fused_epilogue_df64(
     scale: bool,
     block_k: int = 512,
     block_c: int = 512,
+    interpret: bool = False,
 ) -> jax.Array:
     """(total - prod - p (x) q) (.) (i1 (x) i2) -> (F, 2, Kp, Cp) pairs.
 
@@ -568,6 +573,7 @@ def fused_epilogue_df64(
             bytes_accessed=f_folds * kp * cp * 16 + kp * cp * 8,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(total_planes, prod_hi, prod_lo, kvec, cvec)
 
 
@@ -608,7 +614,8 @@ def _f32_kernel_packed(total_ref, u_ref, v_ref, kv_ref, cv_ref, out_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("center", "scale", "block_k", "block_c")
+    jax.jit,
+    static_argnames=("center", "scale", "block_k", "block_c", "interpret"),
 )
 def fused_downdate_f32_packed(
     total_planes: jax.Array,  # (>=1, Kp, Cp); plane 0 used
@@ -621,6 +628,7 @@ def fused_downdate_f32_packed(
     scale: bool,
     block_k: int = 512,
     block_c: int = 512,
+    interpret: bool = False,
 ) -> jax.Array:
     """Packed f32 downdate -> (F, Kp, Cp) float32 (padded)."""
     f_folds, n_l = u.shape[0], u.shape[1]
@@ -659,6 +667,7 @@ def fused_downdate_f32_packed(
             bytes_accessed=f_folds * kp * cp * 4 + kp * cp * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(total_planes, u, v, kvec, cvec)
 
 

@@ -33,7 +33,12 @@ from ..core.fit import fit as _fit
 from ..core.fold import FoldBlocks, training_matrices_from_blocks
 from ..core.state import FitState
 
-__all__ = ["make_mesh", "fit_sharded", "sharded_training_matrices"]
+__all__ = [
+    "make_mesh",
+    "fit_sharded",
+    "sharded_training_matrices",
+    "sharded_cross_validate_reduce",
+]
 
 ROWS = "rows"
 
@@ -149,25 +154,8 @@ def fit_sharded(
     return fitted
 
 
-def _gather_blocks_sharded(
-    config: CVConfig,
-    state: FitState,
-    idx_batch: jax.Array,  # (F, L) global row indices
-    mask_batch: Optional[jax.Array],
-    return_XTY: bool,
-    mesh: Mesh,
-) -> FoldBlocks:
-    """Assemble every fold's validation rows from the row shards.
-
-    Each shard looks up the indices that fall inside its row range and
-    contributes zeros elsewhere; a ``psum`` over ``rows`` yields the
-    replicated (F, L, ...) blocks. Communication is O(F * L * (K + M)) —
-    the gathered rows — never the sharded dataset itself.
-    """
-    n_shards = mesh.shape[ROWS]
-    shard_rows = state.X.shape[0] // n_shards
-
-    # Only the streams this config actually consumes are gathered/psum'd.
+def _gather_sources(config: CVConfig, state: FitState, return_XTY: bool):
+    """The row-sharded streams a config's gathers actually consume."""
     sources = {"WX": state.WX}
     if state.weights is not None:
         sources["X"] = state.X
@@ -176,35 +164,37 @@ def _gather_blocks_sharded(
         sources["Y"] = state.Y
         if state.weights is not None and config.needs_WY:
             sources["WY"] = state.WY
-    names = list(sources.keys())
+    return sources
 
-    def local_gather(arrs, idx):
-        # idx: (F, L) global; this shard owns rows [r0, r0 + shard_rows).
-        r0 = jax.lax.axis_index(ROWS) * shard_rows
-        li = idx - r0
-        inb = (li >= 0) & (li < shard_rows)
-        lc = jnp.clip(li, 0, shard_rows - 1)
 
-        def grab(arr):
-            rows = arr[lc]  # (F, L, C)
-            rows = jnp.where(inb[..., None], rows, 0)
-            return jax.lax.psum(rows, ROWS)
+def _local_gather(arrs, idx, shard_rows):
+    """Shard-local mask-and-psum row gather (call inside ``shard_map``).
 
-        return {k: grab(a) for k, a in arrs.items()}
+    ``idx``: (F, L) global row indices; this shard owns rows
+    ``[r0, r0 + shard_rows)``. Each shard contributes its rows and zeros
+    elsewhere; the ``psum`` over ``rows`` replicates the gathered blocks.
+    """
+    r0 = jax.lax.axis_index(ROWS) * shard_rows
+    li = idx - r0
+    inb = (li >= 0) & (li < shard_rows)
+    lc = jnp.clip(li, 0, shard_rows - 1)
 
-    gathered = jax.shard_map(
-        local_gather,
-        mesh=mesh,
-        in_specs=({k: P(ROWS, None) for k in names}, P()),
-        out_specs={k: P() for k in names},
-    )(sources, idx_batch)
+    def grab(arr):
+        rows = arr[lc]  # (F, L, C)
+        rows = jnp.where(inb[..., None], rows, 0)
+        return jax.lax.psum(rows, ROWS)
+
+    return {k: grab(a) for k, a in arrs.items()}
+
+
+def _blocks_from_gathered(config, state, gathered, mask_batch, return_XTY):
+    """Reproduce gather_val_blocks' aliasing/masking rules on batched blocks."""
     gWX = gathered["WX"]
     gX = gathered.get("X")
     gY = gathered.get("Y")
     gWY = gathered.get("WY")
     gw = gathered.get("w")
 
-    # Reproduce gather_val_blocks' aliasing/masking rules on batched blocks.
     Xv_u = gWX if state.weights is None else gX
     Xv_w = gWX if mask_batch is None else gWX * mask_batch[..., None]
     if return_XTY:
@@ -224,6 +214,72 @@ def _gather_blocks_sharded(
     return FoldBlocks(Xv_w, Xv_u, Yv_w, Yv_u, w_val, mask_batch)
 
 
+def _gather_blocks_sharded(
+    config: CVConfig,
+    state: FitState,
+    idx_batch: jax.Array,  # (F, L) global row indices
+    mask_batch: Optional[jax.Array],
+    return_XTY: bool,
+    mesh: Mesh,
+) -> FoldBlocks:
+    """Assemble every fold's validation rows from the row shards.
+
+    Communication is O(F * L * (K + M)) — the gathered rows — never the
+    sharded dataset itself (see :func:`_local_gather`).
+    """
+    n_shards = mesh.shape[ROWS]
+    shard_rows = state.X.shape[0] // n_shards
+    sources = _gather_sources(config, state, return_XTY)
+    names = list(sources.keys())
+
+    gathered = jax.shard_map(
+        lambda arrs, idx: _local_gather(arrs, idx, shard_rows),
+        mesh=mesh,
+        in_specs=({k: P(ROWS, None) for k in names}, P()),
+        out_specs={k: P() for k in names},
+    )(sources, idx_batch)
+    return _blocks_from_gathered(config, state, gathered, mask_batch,
+                                 return_XTY)
+
+
+def _resolve_mesh_impl(config: CVConfig, impl: str) -> str:
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        return (
+            "pallas"
+            if (on_tpu and np.dtype(config.dtype).itemsize in (4, 8))
+            else "xla"
+        )
+    if impl not in ("pallas", "xla"):
+        raise ValueError(f"Unknown impl: {impl!r} (auto|pallas|xla).")
+    return impl
+
+
+def _globals_only(config: CVConfig, state: FitState) -> FitState:
+    """Small replicated globals only: the fold math never touches the big
+    data fields (they were consumed by the gather phase)."""
+    return FitState(
+        X=jnp.zeros((1, state.K), config.dtype),
+        WX=jnp.zeros((1, state.K), config.dtype),
+        # (1, M) dummy keeps state.M (and the M-dependent kernel geometry)
+        # derivable; the fold math only reads blocks, never Y's data.
+        Y=(
+            None if state.Y is None
+            else jnp.zeros((1, state.M), config.dtype)
+        ),
+        WY=None,
+        weights=None,
+        XTX=state.XTX,
+        XTY=state.XTY,
+        sum_X=state.sum_X,
+        sum_Y=state.sum_Y,
+        sum_sq_X=state.sum_sq_X,
+        sum_sq_Y=state.sum_sq_Y,
+        sum_w=state.sum_w,
+        num_nonzero_w=state.num_nonzero_w,
+    )
+
+
 def sharded_training_matrices(
     config: CVConfig,
     state: FitState,
@@ -234,12 +290,21 @@ def sharded_training_matrices(
     return_XTX: bool = True,
     return_XTY: bool = True,
     trim_padding: bool = True,
+    impl: str = "auto",
+    interpret: bool = False,
 ):
     """All folds' training matrices on a mesh: gather, then fold-sharded math.
 
     ``idx_batch`` (F, L): per-fold validation indices (padded; pass
     ``mask_batch`` for unequal fold sizes). Outputs are sharded over folds
     (leading axis) across the mesh.
+
+    ``impl="auto"`` routes the fold math through the SAME fused Pallas
+    kernels as the single-chip :func:`core.batch.training_matrices_batched`
+    (packed df64 / MXU Ozaki downdate) on TPU f64/f32 — per-chip fold
+    throughput matches the single-chip kernel path. ``"xla"`` forces the
+    vmapped XLA engine; ``interpret=True`` runs the kernels in Pallas
+    interpret mode (CPU wiring tests).
 
     The fold axis is padded internally to a multiple of the mesh size.
     ``trim_padding=True`` (default) slices the duplicates off — convenient,
@@ -276,38 +341,145 @@ def sharded_training_matrices(
         return_XTY, mesh,
     )
 
-    # Small replicated globals only: the fold math never touches the big data
-    # fields (they were consumed by the gather phase above).
-    globals_only = FitState(
-        X=jnp.zeros((1, state.K), config.dtype),
-        WX=jnp.zeros((1, state.K), config.dtype),
-        Y=None,
-        WY=None,
-        weights=None,
-        XTX=state.XTX,
-        XTY=state.XTY,
-        sum_X=state.sum_X,
-        sum_Y=state.sum_Y,
-        sum_sq_X=state.sum_sq_X,
-        sum_sq_Y=state.sum_sq_Y,
-        sum_w=state.sum_w,
-        num_nonzero_w=state.num_nonzero_w,
-    )
+    globals_only = _globals_only(config, state)
+    impl_r = _resolve_mesh_impl(config, impl)
 
-    def fold_fn(st, blks):
-        return training_matrices_from_blocks(
-            config, st, blks, return_XTX=return_XTX, return_XTY=return_XTY
-        )
-
-    batched = jax.vmap(fold_fn, in_axes=(None, 0))
     # Explicitly reshard the (replicated) gathered blocks over folds, then run
     # the fold math fold-sharded; each device computes only its fold slice.
     blocks = jax.device_put(
         blocks, jax.tree.map(lambda _: NamedSharding(mesh, P(ROWS)), blocks)
     )
-    out = jax.jit(batched, out_shardings=fold_sharded)(globals_only, blocks)
+    if impl_r == "pallas":
+        # Pallas calls have no GSPMD partitioning rule — run the fold phase
+        # shard-locally under shard_map (no collectives inside; the gather
+        # already replicated the blocks).
+        from ..core.batch import batched_matrices_from_blocks
+
+        def fold_math(st, blks):
+            return batched_matrices_from_blocks(
+                config, st, blks,
+                return_XTX=return_XTX, return_XTY=return_XTY,
+                impl="pallas", interpret=interpret,
+            )
+
+        out = jax.jit(
+            jax.shard_map(
+                fold_math, mesh=mesh,
+                in_specs=(P(), P(ROWS)), out_specs=P(ROWS),
+                # Pallas calls carry no varying-mesh-axes info; the body is
+                # collective-free so the vma check adds nothing here.
+                check_vma=False,
+            )
+        )(globals_only, blocks)
+    else:
+        def fold_fn(st, blks):
+            return training_matrices_from_blocks(
+                config, st, blks, return_XTX=return_XTX, return_XTY=return_XTY
+            )
+
+        batched = jax.vmap(fold_fn, in_axes=(None, 0))
+        out = jax.jit(batched, out_shardings=fold_sharded)(
+            globals_only, blocks
+        )
     if not trim_padding:
         return out, n_folds
     if pad_f:
         out = jax.tree.map(lambda a: a[:n_folds], out)
     return out
+
+
+def sharded_cross_validate_reduce(
+    config: CVConfig,
+    state: FitState,
+    idx_batch,
+    mask_batch=None,
+    *,
+    mesh: Mesh,
+    reduce_fn,
+    batch_size: int = 256,
+    return_XTX: bool = True,
+    return_XTY: bool = True,
+    impl: str = "auto",
+    interpret: bool = False,
+):
+    """Mesh-parallel, single-program CV sweep with an on-device reduction.
+
+    The multi-chip counterpart of :func:`models.sweep.cross_validate_reduce`:
+    ONE compiled program scans fold chunks; each step gathers the chunk's
+    validation rows from the row shards (mask-and-psum), splits the chunk's
+    folds across the mesh, runs the fold math shard-locally (through the
+    fused Pallas kernels on TPU — same routing as the single-chip sweep)
+    and immediately reduces with ``reduce_fn``. Fold matrices never leave
+    their device; only the reductions are returned (stacked, fold-major).
+    """
+    if return_XTY and state.Y is None:
+        raise ValueError("Response variables `Y` are not provided.")
+    n_dev = mesh.shape[ROWS]
+    idx = jnp.asarray(idx_batch)
+    n_folds = idx.shape[0]
+    mask = None if mask_batch is None else jnp.asarray(mask_batch, config.dtype)
+    # Chunk size: a multiple of the mesh size, equalized over chunks.
+    bs = max(n_dev, min(batch_size, n_folds) // n_dev * n_dev)
+    n_chunks = -(-n_folds // bs)
+    bs = -(-(-(-n_folds // n_chunks)) // n_dev) * n_dev
+    n_chunks = -(-n_folds // bs)
+    pad = n_chunks * bs - n_folds
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(idx[-1:], (pad,) + idx.shape[1:])]
+        )
+        if mask is not None:
+            mask = jnp.concatenate(
+                [mask, jnp.broadcast_to(mask[-1:], (pad,) + mask.shape[1:])]
+            )
+    idx_c = idx.reshape(n_chunks, bs, idx.shape[1])
+    mask_c = None if mask is None else mask.reshape(n_chunks, bs, mask.shape[1])
+
+    shard_rows = state.X.shape[0] // n_dev
+    bs_local = bs // n_dev
+    sources = _gather_sources(config, state, return_XTY)
+    names = list(sources.keys())
+    globals_only = _globals_only(config, state)
+    impl_r = _resolve_mesh_impl(config, impl)
+    from ..core.batch import batched_matrices_from_blocks
+
+    def body(srcs, st, ic, mc):
+        def step(carry, chunk):
+            ci, cm = chunk
+            gathered = _local_gather(srcs, ci, shard_rows)
+            blocks = _blocks_from_gathered(config, state, gathered, cm,
+                                           return_XTY)
+            r0 = jax.lax.axis_index(ROWS) * bs_local
+            my = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, r0, bs_local, 0),
+                blocks,
+            )
+            if impl_r == "pallas":
+                mats, stats = batched_matrices_from_blocks(
+                    config, st, my,
+                    return_XTX=return_XTX, return_XTY=return_XTY,
+                    impl="pallas", interpret=interpret,
+                )
+            else:
+                mats, stats = jax.vmap(
+                    lambda blks: training_matrices_from_blocks(
+                        config, st, blks,
+                        return_XTX=return_XTX, return_XTY=return_XTY,
+                    )
+                )(my)
+            return carry, jax.vmap(reduce_fn)(mats, stats)
+
+        _, red = jax.lax.scan(step, None, (ic, mc))
+        return red  # (n_chunks, bs_local, ...)
+
+    red = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=({k: P(ROWS, None) for k in names}, P(), P(), P()),
+            out_specs=P(None, ROWS),
+            # Pallas calls carry no varying-mesh-axes info (see above).
+            check_vma=False,
+        )
+    )(sources, globals_only, idx_c, mask_c)
+    red = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:n_folds], red)
+    return red

@@ -132,3 +132,78 @@ def test_sharded_untrimmed_keeps_fold_sharding(mesh):
     assert_allclose(np.asarray(xtx_p[:n]), np.asarray(trimmed), atol=0)
     # padded tail duplicates fold 0
     assert_allclose(np.asarray(xtx_p[n]), np.asarray(xtx_p[0]), atol=0)
+
+
+# --------------------------------------------------------------------------- #
+# Kernel-routed mesh path (round 2): same Pallas routing as single-chip       #
+# --------------------------------------------------------------------------- #
+# Interpret mode is a WIRING check only: Pallas interpret on CPU fuses a*b+c
+# into an f64 FMA, silently breaking double-float compensation by ~1 ulp of
+# the output (see .claude/skills/verify), so tolerances here are loose; exact
+# kernel parity runs on real TPU (tests/test_loocv_kernel.py and the bench).
+
+from cvmatrix_tpu.parallel.distributed import sharded_cross_validate_reduce
+
+
+def test_sharded_kernel_path_small_folds(mesh):
+    """LOOCV-style folds route through the packed df64 kernel under shard_map."""
+    cfg = CVConfig(True, True, True, True, 1)
+    w = zero_fraction(WEIGHTS)
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, w)
+    idx = np.arange(16)[:, None]
+    (kx, ky), kstats = sharded_training_matrices(
+        cfg, st, idx, mesh=mesh, impl="pallas", interpret=True
+    )
+    (rx, ry), rstats = sharded_training_matrices(cfg, st, idx, mesh=mesh,
+                                                 impl="xla")
+    assert_allclose(np.asarray(kx), np.asarray(rx), rtol=1e-5, atol=1e-2)
+    assert_allclose(np.asarray(ky), np.asarray(ry), rtol=1e-5, atol=1e-2)
+    for ks, rs in zip(kstats, rstats):
+        if rs is not None:
+            assert_allclose(np.asarray(ks), np.asarray(rs), atol=1e-6)
+
+
+@pytest.mark.parametrize("flags", [(True, True, True, True),
+                                   (False, False, False, False)])
+def test_sharded_kernel_path_large_folds(mesh, flags):
+    """Natural (padded+masked) folds route through the epilogue kernel."""
+    cx, cy, sx, sy = flags
+    cfg = CVConfig(cx, cy, sx, sy, 1)
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, WEIGHTS)
+    p = Partitioner(FOLDS)
+    _, idx, mask = p.padded_batches()
+    (kx, ky), _ = sharded_training_matrices(
+        cfg, st, idx, mask, mesh=mesh, impl="pallas", interpret=True
+    )
+    (rx, ry), _ = sharded_training_matrices(cfg, st, idx, mask, mesh=mesh,
+                                            impl="xla")
+    assert_allclose(np.asarray(kx), np.asarray(rx), rtol=1e-5, atol=1e-2)
+    assert_allclose(np.asarray(ky), np.asarray(ry), rtol=1e-5, atol=1e-2)
+
+
+@pytest.mark.parametrize("impl,interp,tol", [("xla", False, 1e-8),
+                                             ("pallas", True, 1e-2)])
+def test_sharded_reduce(mesh, impl, interp, tol):
+    """Single-program mesh sweep with on-device reduction, both impls."""
+    import jax.numpy as jnp
+
+    cfg = CVConfig(True, True, True, True, 1)
+    w = zero_fraction(WEIGHTS)
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, w)
+    ref = CVMatrix().fit(X_ALL, Y_ALL, w)
+    n_folds = 37  # not a multiple of the chunk or mesh size
+    idx = np.arange(n_folds)[:, None]
+
+    def reduce_fn(mats, stats):
+        xtx, xty = mats
+        return jnp.trace(xtx) + jnp.sum(xty)
+
+    red = sharded_cross_validate_reduce(
+        cfg, st, idx, mesh=mesh, reduce_fn=reduce_fn, batch_size=16,
+        impl=impl, interpret=interp,
+    )
+    assert red.shape == (n_folds,)
+    for i in (0, 17, n_folds - 1):
+        (xtx, xty), _ = ref.training_XTX_XTY(np.array([i]))
+        want = float(np.trace(np.asarray(xtx)) + np.sum(np.asarray(xty)))
+        assert abs(float(red[i]) - want) < tol * max(1.0, abs(want))
