@@ -41,10 +41,15 @@ from .state import FitState
 __all__ = [
     "FoldOperands",
     "LoocvSources",
+    "OzakiSources",
+    "gather_ozaki_rows",
     "loocv_single_tile_ok",
     "loocv_f32_from_sources",
+    "ozaki_v3_from_sources",
+    "ozaki_v3_ok",
     "prepare_fold_operands",
     "prepare_loocv_sources",
+    "prepare_ozaki_sources",
     "smallfold_from_sources",
     "training_matrices_batched",
 ]
@@ -1014,23 +1019,27 @@ def _f32_kernel_path(config, state, idx, mask, *, return_XTX, return_XTY):
 
 
 class OzakiSources(NamedTuple):
-    """Operands for the v2 fused Ozaki kernel (dataset slice planes).
+    """Operands for the v3 fused Ozaki kernel (dataset slice planes).
 
-    ``saN``/``sbN`` are sliced ONCE per dataset against GLOBAL per-column
-    scales; ``yvec`` carries the (M-wide) Y-side statistic vectors per fold;
-    everything else mirrors :class:`LoocvSources`.
+    ``saN``/``sbN_rev`` are SLICE-MAJOR (Sp, N, Kp/Cp) int8 planes sliced
+    ONCE per dataset against GLOBAL per-column scales (the B side in
+    reversed slice order — the kernel's prefix-stack layout);
+    :func:`gather_ozaki_rows` pulls a chunk's fold rows out of them with
+    one fused XLA gather per side. ``sxv`` carries exact per-fold X-side
+    validation column-sum pairs; ``yvec`` the (M-wide) Y-side statistic
+    vectors.
     """
 
     total2: jnp.ndarray
-    saN: jnp.ndarray
-    sbN: jnp.ndarray
+    saN: jnp.ndarray      # (Sp, N, Kp) int8
+    sbN_rev: jnp.ndarray  # (Sp, N, Cp) int8, reversed slice order
     pa: jnp.ndarray
     pb: jnp.ndarray
     gx: jnp.ndarray
+    sxv: jnp.ndarray      # (F, 2, Kp) f32 exact X colsum pairs
     yvec: jnp.ndarray
     ymask: jnp.ndarray
     scal: jnp.ndarray
-    mrow: jnp.ndarray
     idx: jnp.ndarray   # (F, Lp) row indices, padded
     mask2d: jnp.ndarray  # (F, Lp) 0/1 or None
     lp: int
@@ -1044,18 +1053,36 @@ class OzakiSources(NamedTuple):
         return self.total2.shape[2]
 
 
-def ozaki_v2_ok(config: CVConfig, state: FitState, return_XTX: bool,
+def ozaki_v3_ok(config: CVConfig, state: FitState, return_XTX: bool,
                 return_XTY: bool, n_l: int) -> bool:
-    """Geometry gate for the v2 kernel: single square tile and a fold row
-    count whose single-f32 group sums stay exact (S * Lp * 2^12 < 2^24)."""
+    """Geometry gate for the v3 kernel: single square tile and a fold row
+    count whose single-f32 group sums stay exact (Sp * Lp * 65^2 < 2^24)."""
     lp = _round_up(n_l, 32)
+    sp = kernels.ozaki_trim_groups(n_l)
     return (
         loocv_single_tile_ok(config, state, return_XTX, return_XTY)
         and np.dtype(config.dtype).itemsize == 8
         and config.matmul_mode in ("auto", "exact")
         and _round_up(max(state.K, 8), 128) <= 512
-        and 10 * lp * 65 * 65 < 2 ** 24
+        and sp * lp * 65 * 65 < 2 ** 24
     )
+
+
+def gather_ozaki_rows(saN, sbN_rev, rows, mask_rows=None):
+    """Gather fold rows from the slice-major dataset planes.
+
+    ``rows``: (R,) int32 flat fold-major row indices; ``mask_rows``: (R,)
+    0/1 (padded rows zeroed — they then contribute exactly nothing to the
+    products, the diagonal squared sums, or anything else the kernel
+    derives from the stacks). ONE fused gather per side replaces the v2
+    kernel's per-row scalar-prefetch DMAs.
+    """
+    sa = saN[:, rows]
+    if mask_rows is not None:
+        sa = jnp.where(mask_rows[None, :, None] > 0, sa,
+                       jnp.zeros_like(sa))
+    sb = sbN_rev[:, rows]
+    return sa, sb
 
 
 def prepare_ozaki_sources(
@@ -1067,12 +1094,15 @@ def prepare_ozaki_sources(
     return_XTX: bool = True,
     return_XTY: bool = True,
 ) -> OzakiSources:
-    """Build dataset slice planes + per-fold vectors for the v2 kernel.
+    """Build dataset slice planes + per-fold vectors for the v3 kernel.
 
     The dataset is sliced once with GLOBAL column scales (valid for every
     fold: the downdate's error budget is absolute against the total, which
-    carries the global scale). Only the tiny Y-side statistic vectors and
-    the O(F) scalars are computed per fold outside the kernel.
+    carries the global scale), keeping only the
+    :func:`~cvmatrix_tpu.ops.kernels.ozaki_trim_groups` product slices.
+    Exact X-side validation column sums, the (tiny) Y-side statistic
+    vectors and the O(F) scalars are computed per fold here, outside the
+    kernel.
     """
     from ..ops.precise import _column_scale, _mantissa_slices, _pow2
     from .fold import FoldBlocks, _compute_training_stats
@@ -1080,6 +1110,7 @@ def prepare_ozaki_sources(
     idx = jnp.asarray(idx_batch)
     f_folds, n_l = idx.shape
     lp = _round_up(n_l, 32)
+    n_sp = kernels.ozaki_trim_groups(n_l)
     mask = (
         None if mask_batch is None
         else jnp.asarray(mask_batch, config.dtype).reshape(f_folds, n_l)
@@ -1102,8 +1133,8 @@ def prepare_ozaki_sources(
     with_y = return_XTY
     f64 = jnp.float64
 
-    def slice_planes(mat_parts, width):
-        """[(mat, col0), ...] -> (N, S, width) int8 + (2, width) pow2."""
+    def slice_planes(mat_parts, width, reverse):
+        """[(mat, col0), ...] -> (Sp, N, width) int8 + (2, width) pow2."""
         n = mat_parts[0][0].shape[0]
         padded = jnp.zeros((n, width), f64)
         for mat, col0 in mat_parts:
@@ -1111,7 +1142,8 @@ def prepare_ozaki_sources(
                 mat.astype(f64))
         e = _column_scale(padded)
         scaled = padded * _pow2(-e)[None, :]
-        planes = jnp.stack(_mantissa_slices(scaled, 10), axis=1)
+        sl = _mantissa_slices(scaled, n_sp)
+        planes = jnp.stack(sl[::-1] if reverse else sl)
         h1 = jnp.clip(e, -127, 127)
         pows = jnp.stack([
             jnp.ldexp(jnp.float32(1.0), h1),
@@ -1119,14 +1151,29 @@ def prepare_ozaki_sources(
         ])
         return planes, pows
 
-    saN, pa = slice_planes([(state.WX if weighted else state.X, 0)], kp)
+    X_w = state.WX if weighted else state.X
+    saN, pa = slice_planes([(X_w, 0)], kp, reverse=False)
     b_parts = [(state.X, 0)]
     if with_y:
         b_parts.append((state.Y, k))
-    sbN, pb = slice_planes(b_parts, cp)
+    sbN_rev, pb = slice_planes(b_parts, cp, reverse=True)
 
     center = config.center_X or (with_y and config.center_Y)
     need_x_mean = center or config.scale_X
+    sxv = jnp.zeros((f_folds, 2, kp), jnp.float32)
+    if need_x_mean:
+        # Exact per-fold column sums of the (weighted, masked) validation
+        # rows — the kernel's stats input (v2 derived these from slice
+        # column sums in-kernel; precomputing the exact f64 sums here is
+        # both cheaper and closer to the XLA engine's arithmetic).
+        rows_all = idx.reshape(-1)
+        Xv = X_w[rows_all].reshape(f_folds, lp, k).astype(f64)
+        if mask is not None:
+            Xv = Xv * mask.astype(f64)[:, :, None]
+        csum = jnp.sum(Xv, axis=1)
+        hi, lo = df_from_f64(csum)
+        sxv = sxv.at[:, 0, :k].set(hi).at[:, 1, :k].set(lo)
+
     need_y_stats = with_y and (
         config.center_X or config.center_Y or config.scale_Y
     )
@@ -1204,37 +1251,38 @@ def prepare_ozaki_sources(
         else jnp.zeros((f_folds, 1, 128), jnp.float32)
     )
 
-    if mask is None:
-        mrow = jnp.zeros((1, 1, 1, 128), jnp.float32)
-    else:
-        mrow = jnp.zeros((f_folds, lp, 1, 128), jnp.float32).at[
-            :, :, 0, 0
-        ].set(mask.astype(jnp.float32))
-
     total2 = _total_planes(state, return_XTX, return_XTY, kp, cp,
                            presplit=False)
-    return OzakiSources(total2, saN, sbN, pa, pb, gx, yvec, ymask, scal,
-                        mrow, idx, mask, lp)
+    return OzakiSources(total2, saN, sbN_rev, pa, pb, gx, sxv, yvec, ymask,
+                        scal, idx, mask, lp)
 
 
-def ozaki_v2_from_sources(config: CVConfig, src: OzakiSources, rows=None,
-                          scal_slice=None, mrow_slice=None, yvec_slice=None,
-                          *, return_XTY: bool, interpret: bool = False):
-    """Run the v2 fused Ozaki kernel on (a slice of) prepared sources."""
-    return kernels.fused_ozaki_downdate_v2(
-        src.idx.reshape(-1).astype(jnp.int32) if rows is None else rows,
-        src.total2, src.saN, src.sbN, src.pa, src.pb, src.gx,
+def ozaki_v3_from_sources(config: CVConfig, src: OzakiSources, rows=None,
+                          mask_rows=None, sxv_slice=None, scal_slice=None,
+                          yvec_slice=None, *, return_XTY: bool,
+                          interpret: bool = False):
+    """Gather + run the v3 fused Ozaki kernel on (a slice of) sources.
+
+    ``rows``/``mask_rows``: (F * Lp,) flat fold-major row indices and 0/1
+    validity (defaults: all folds in ``src``). The gather is plain XLA and
+    jit-fuses with the caller's chunk loop.
+    """
+    if rows is None:
+        rows = src.idx.reshape(-1).astype(jnp.int32)
+        if src.mask2d is not None and mask_rows is None:
+            mask_rows = src.mask2d.reshape(-1).astype(jnp.float32)
+    sa, sb = gather_ozaki_rows(src.saN, src.sbN_rev, rows, mask_rows)
+    return kernels.fused_ozaki_downdate_v3(
+        src.total2, sa, sb, src.pa, src.pb, src.gx,
+        src.sxv if sxv_slice is None else sxv_slice,
         src.yvec if yvec_slice is None else yvec_slice,
         src.ymask,
         src.scal if scal_slice is None else scal_slice,
-        src.mrow if mrow_slice is None else mrow_slice,
-        n_l=src.lp,
         center_xtx=config.center_X,
         center_xty=config.center_X or config.center_Y,
         scale_x=config.scale_X,
         scale_y=config.scale_Y,
         with_y=return_XTY,
-        has_mask=src.mask2d is not None,
         resolution=config.resolution,
         interpret=interpret,
     )

@@ -347,25 +347,24 @@ def _materialize_sweep_impl(
     # (hoisting L-row streams for every fold would blow HBM at scale).
     from ..core.batch import (
         large_fold_threshold,
-        ozaki_v2_ok,
-        ozaki_v2_from_sources,
+        ozaki_v3_ok,
+        ozaki_v3_from_sources,
         prepare_ozaki_sources,
     )
 
     n_l = idx.shape[1]
     threshold = large_fold_threshold(config, state, return_XTX, return_XTY)
-    # v2 fused Ozaki: dataset slice planes + in-kernel gather/stats — no
-    # per-fold f64 row gathers or stat vectors in XLA (sweeps don't need
-    # host-visible stats). Measured on a v5e (N=100k, K=500, TTTT), with
-    # 8 rows gathered per grid step: P=1000 fold phase 188 -> 118 ms and
-    # P=10000 345 -> 318 ms, so every MXU-path fold size routes here.
-    # Accuracy note: global-scale slicing and the diagonal-derived squared
-    # sums cost ~1 extra bit vs v1 (~2e-8 abs at XTX ~ 2.5e4, i.e. ~1e-12
-    # relative — still orders of magnitude inside the reference's
+    # v3 fused Ozaki: dataset slice planes + ONE fused XLA gather per chunk
+    # feeding trimmed prefix-stack MXU products (kernels.py docstrings for
+    # the measured v2 -> v3 rationale). Sweeps don't need host-visible
+    # stats, so no per-fold f64 row gathers or stat vectors run in XLA.
+    # Accuracy note: global-scale slicing, the diagonal-derived squared
+    # sums and the trimmed groups cost ~1 extra bit vs v1 (~1e-12 relative
+    # at bench scale — orders of magnitude inside the reference's
     # 1e-8-at-test-scale contract).
     if (
         use_packed and is_f64 and n_l >= threshold
-        and ozaki_v2_ok(config, state, return_XTX, return_XTY, n_l)
+        and ozaki_v3_ok(config, state, return_XTX, return_XTY, n_l)
     ):
         n = n_chunks * bs
         src = prepare_ozaki_sources(
@@ -373,20 +372,25 @@ def _materialize_sweep_impl(
             return_XTX=return_XTX, return_XTY=return_XTY,
         )
         rows_flat = src.idx.reshape(-1).astype(jnp.int32)
+        mask_flat = (
+            None if src.mask2d is None
+            else src.mask2d.reshape(-1).astype(jnp.float32)
+        )
         lp = src.lp
-        has_mask = src.mask2d is not None
 
         def body(c, carry):
             rows = jax.lax.dynamic_slice_in_dim(
                 rows_flat, c * (bs * lp), bs * lp, 0)
+            mk = (
+                None if mask_flat is None
+                else jax.lax.dynamic_slice_in_dim(
+                    mask_flat, c * (bs * lp), bs * lp, 0)
+            )
+            sx = jax.lax.dynamic_slice_in_dim(src.sxv, c * bs, bs, 0)
             sc = jax.lax.dynamic_slice_in_dim(src.scal, c * bs, bs, 0)
             yv = jax.lax.dynamic_slice_in_dim(src.yvec, c * bs, bs, 0)
-            mr = (
-                jax.lax.dynamic_slice_in_dim(src.mrow, c * bs, bs, 0)
-                if has_mask else src.mrow
-            )
-            return ozaki_v2_from_sources(
-                config, src, rows, sc, mr, yv, return_XTY=return_XTY,
+            return ozaki_v3_from_sources(
+                config, src, rows, mk, sx, sc, yv, return_XTY=return_XTY,
             )
 
         buf0 = jnp.zeros((bs, 2, src.kp, src.cp), jnp.float32)

@@ -52,8 +52,9 @@ __all__ = [
     "fused_loocv_df64",
     "fused_loocv_f32",
     "fused_ozaki_downdate_df64",
-    "fused_ozaki_downdate_v2",
+    "fused_ozaki_downdate_v3",
     "fused_smallfold_df64",
+    "ozaki_trim_groups",
     "slice_rows",
 ]
 
@@ -1552,64 +1553,93 @@ def fused_loocv_f32(
 
 
 # --------------------------------------------------------------------------- #
-# Fused Ozaki v2: dataset slice planes, in-kernel gather AND X-side stats     #
+# Fused Ozaki v3: pre-gathered slice stacks, prefix-stack MXU products        #
 # --------------------------------------------------------------------------- #
 
+# Recombination chain split: groups below this index accumulate through
+# exact two_sum steps; later groups (magnitude <= (s+1) Lp 2^-6s <= Lp 2^-28
+# of the column-scale product for s >= 5) are plain-added and merged with
+# ONE final two_sum. The plain adds round at 2^-24 of the tail's own
+# magnitude — <= Sp * Lp * 2^-54 of the scale, far below the trim budget —
+# for ~25 fewer VPU flops per output element than an all-two_sum chain.
+_V3_TAIL_START = 5
 
-def _ozaki_v2_fold_math(total, sa, sb, pa, pb, gx, yvec, ymask, scal_row, *,
-                        center_xtx: bool, center_xty: bool, scale_x: bool,
-                        scale_y: bool, with_y: bool, resolution: float):
-    """One fold's downdate + X-side stats from its SLICE stacks.
 
-    ``sa``/``sb``: (Lp, S, Kp/Cp) int8 mantissa slices of the fold's
-    weighted X rows / unweighted [X | Y] rows, sliced against DATASET-GLOBAL
-    per-column scales (valid: a larger scale only shrinks the scaled values,
-    and the 2^-60-of-global-scale residual is exactly the downdate's error
-    budget — the total it subtracts from carries the global scale).
+def ozaki_trim_groups(n_l: int, *, n_slices: int = 10,
+                      budget_log2: int = -36) -> int:
+    """Number of slice-product groups needed for a fold of ``n_l`` rows.
 
-    X-side statistics never touch the raw rows: the validation-block column
-    sums recombine from the slice column sums (exact — a slice column sum is
-    bounded by Lp * 2^T_BITS < 2^24), and the squared sums are the X-block
-    DIAGONAL of the downdate product itself. Only the (tiny, M-wide) Y-side
-    vectors arrive precomputed in ``yvec``: [q-part pair, i2-part pair],
-    zero outside the Y columns.
+    Group ``s`` of the Ozaki contraction is bounded by
+    ``(s+1) * Lp * 2^(-T_BITS * s)`` relative to the per-column scale
+    product ``pa (x) pb``, so the tail dropped by keeping ``Sp`` groups is
+    under ``1.2 * (Sp+1) * Lp * 2^(-T_BITS * Sp)``. The default budget
+    2^-36 (of the column-scale product) sits ~2 decades below the fold
+    pipeline's other error sources (the f32-pair total representation at
+    ~2^-48 relative and the double-float statistics chain) and ~3 decades
+    inside the reference's 1e-8 test contract at bench scale.
     """
-    s_groups = sa.shape[1]
-    acc_h = acc_l = None
-    sum_h = sum_l = None
-    need_x_mean = center_xtx or (with_y and center_xty) or scale_x
-    for s in range(s_groups):
+    lp = _round_up(max(n_l, 1), 32)
+    for sp in range(2, n_slices):
+        if 1.2 * (sp + 1) * lp * 2.0 ** (-_OZAKI_T_BITS * sp) \
+                <= 2.0 ** budget_log2:
+            return sp
+    return n_slices
+
+
+def _ozaki_v3_fold_math(total, sa, sb_rev, pa, pb, gx, sxv, yvec, ymask,
+                        scal_row, *, center_xtx: bool, center_xty: bool,
+                        scale_x: bool, scale_y: bool, with_y: bool,
+                        resolution: float):
+    """One fold's downdate + X-side stats from pre-gathered slice stacks.
+
+    ``sa``: (Sp, Lp, Kp) int8 mantissa slices of the fold's weighted X rows
+    (masked rows already zeroed by the gather); ``sb_rev``: (Sp, Lp, Cp)
+    slices of the unweighted [X | Y] rows in REVERSED slice order. Both are
+    sliced against DATASET-GLOBAL per-column scales (valid: the downdate's
+    error budget is absolute against the total, which carries the global
+    scale; see :func:`ozaki_trim_groups` for the trim bound).
+
+    Same-exponent groups run as PREFIX-STACK products: group ``s`` is ONE
+    ``sa[: s+1 slices] @ sb_rev[reversed suffix]`` matmul (contiguous row
+    blocks of the flattened stacks — row-block ``i`` meets slice ``s-i``),
+    so the kernel issues ``Sp`` deep MXU contractions instead of
+    ``Sp (Sp+1) / 2`` shallow ones — bit-identical int32 sums, far better
+    systolic-array utilisation at small ``Lp``, and ~6x less unrolled
+    compile work.
+
+    X-side statistics: the validation-block column sums arrive as exact
+    precomputed pairs in ``sxv`` (2, Kp); the squared sums are the X-block
+    DIAGONAL of the downdate product itself. The (M-wide) Y-side vectors
+    arrive precomputed in ``yvec``: [q-part pair, i2-part pair].
+    """
+    sp, lp = sa.shape[0], sa.shape[1]
+    sa_flat = sa.reshape(sp * lp, sa.shape[2])
+    sb_flat = sb_rev.reshape(sp * lp, sb_rev.shape[2])
+
+    acc_h = acc_l = tail = None
+    for s in range(sp):
         d32 = jax.lax.dot_general(
-            sa[:, 0, :], sb[:, s, :], (((0,), (0,)), ((), ())),
+            sa_flat[: (s + 1) * lp, :],
+            sb_flat[(sp - 1 - s) * lp:, :],
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        for i in range(1, s + 1):
-            d32 = d32 + jax.lax.dot_general(
-                sa[:, i, :], sb[:, s - i, :], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-        cs = 2.0 ** (-float(_OZAKI_T_BITS) * (s + 2))
-        g_h = d32.astype(jnp.float32)
-        if acc_h is None:
-            acc_h = g_h * cs
-            acc_l = jnp.zeros_like(g_h)
-        else:
-            t, e = two_sum(acc_h, g_h * cs)
+        # Exact single-f32 group sums: bounded by Sp * Lp * 65^2 < 2^24
+        # (the ozaki_v3_ok gate).
+        g = d32.astype(jnp.float32) * 2.0 ** (-float(_OZAKI_T_BITS) * (s + 2))
+        if s == 0:
+            acc_h = g
+            acc_l = jnp.zeros_like(g)
+        elif s < _V3_TAIL_START:
+            t, e = two_sum(acc_h, g)
             acc_h = t
             acc_l = acc_l + e
-        if need_x_mean:
-            # exact int32 column sum of this slice -> f32 (bounded < 2^24)
-            csum = jnp.sum(sa[:, s, :].astype(jnp.int32), axis=0,
-                           keepdims=True, dtype=jnp.int32
-                           ).astype(jnp.float32)
-            c1 = 2.0 ** (-float(_OZAKI_T_BITS) * (s + 1))
-            if sum_h is None:
-                sum_h = csum * c1
-                sum_l = jnp.zeros_like(csum)
-            else:
-                t, e = two_sum(sum_h, csum * c1)
-                sum_h = t
-                sum_l = sum_l + e
+        else:
+            tail = g if tail is None else tail + g
+    if tail is not None:
+        t, e = two_sum(acc_h, tail)
+        acc_h = t
+        acc_l = acc_l + e
 
     pa1 = pa[0:1, :]
     pa2 = pa[1:2, :]
@@ -1623,23 +1653,21 @@ def _ozaki_v2_fold_math(total, sa, sb, pa, pb, gx, yvec, ymask, scal_row, *,
     rdv = (scal_row[4], scal_row[5])
     center = center_xtx or (with_y and center_xty)
     scale = scale_x or (with_y and scale_y)
+    need_x_mean = center or scale_x
 
     mX = r1 = None
     if need_x_mean:
-        sum_h = sum_h * pa1 * pa2  # exact power-of-two column scales
-        sum_l = sum_l * pa1 * pa2
         sq = None
         if scale_x:
             # X-block diagonal of the product = sum of Xv_w (.) Xv_u rows
-            kp = d_h.shape[0]
             rows = jax.lax.broadcasted_iota(jnp.int32, d_h.shape, 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, d_h.shape, 1)
             dm = rows == cols
             sq = (jnp.sum(jnp.where(dm, d_h, 0.0), axis=0, keepdims=True),
                   jnp.sum(jnp.where(dm, d_l, 0.0), axis=0, keepdims=True))
         mX, r1 = _df64_side_stats_from_sums(
-            (sum_h, sum_l), sq, gx, sw, rsw, rdv,
-            center or scale_x, scale_x, resolution=resolution,
+            (sxv[0:1, :], sxv[1:2, :]), sq, gx, sw, rsw, rdv,
+            need_x_mean, scale_x, resolution=resolution,
         )
 
     pq = None
@@ -1668,130 +1696,92 @@ def _ozaki_v2_fold_math(total, sa, sb, pa, pb, gx, yvec, ymask, scal_row, *,
     return _df64_ref_epilogue_vals(total, d_h, d_l, pq, i12)
 
 
-def _ozaki_v2_kernel(idx_ref, total_ref, *rest, n_l: int, has_mask: bool,
-                     rows_per_step: int, **flags):
-    """Grid (F, Lp / G): stream G validation rows' slice stacks per step
-    into VMEM scratch (masked rows zeroed), then run the whole fold at the
-    last step. G amortises the per-step grid overhead for small folds."""
-    g = rows_per_step
-    sa_refs = rest[0:g]
-    sb_refs = rest[g:2 * g]
-    (pa_ref, pb_ref, gx_ref, yvec_ref, ymask_ref, scal_ref, mrow_ref,
-     out_ref, sa_scr, sb_scr) = rest[2 * g:]
-    l = pl.program_id(1)
-    for j in range(g):
-        row_a = sa_refs[j][0]  # (S, KP) int8
-        row_b = sb_refs[j][0]  # (S, CP) int8
-        if has_mask:
-            # select, not multiply: Mosaic has no int8 vector multiply
-            row_a = jnp.where(mrow_ref[0, j, 0, 0] > 0, row_a,
-                              jnp.zeros_like(row_a))
-        sa_scr[l * g + j] = row_a
-        sb_scr[l * g + j] = row_b
-
-    @pl.when(l == n_l // g - 1)
-    def _():
-        oh, ol = _ozaki_v2_fold_math(
-            total_ref, sa_scr[:], sb_scr[:], pa_ref[:], pb_ref[:],
-            gx_ref[:], yvec_ref[0], ymask_ref[0:1, :], scal_ref[0, 0],
-            **flags,
-        )
-        out_ref[0, 0] = oh
-        out_ref[0, 1] = ol
+def _ozaki_v3_kernel(total_ref, sa_ref, sb_ref, pa_ref, pb_ref, gx_ref,
+                     sxv_ref, yvec_ref, ymask_ref, scal_ref, out_ref,
+                     **flags):
+    """Grid (F,): one step per fold — the slice stacks arrive pre-gathered
+    as contiguous (Sp, Lp, Kp/Cp) blocks (two DMAs per fold instead of one
+    per validation row)."""
+    oh, ol = _ozaki_v3_fold_math(
+        total_ref, sa_ref[:], sb_ref[:], pa_ref[:], pb_ref[:],
+        gx_ref[:], sxv_ref[0], yvec_ref[0], ymask_ref[0:1, :],
+        scal_ref[0, 0], **flags,
+    )
+    out_ref[0, 0] = oh
+    out_ref[0, 1] = ol
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_l", "center_xtx", "center_xty", "scale_x", "scale_y",
-                     "with_y", "has_mask", "resolution", "interpret"),
+    static_argnames=("center_xtx", "center_xty", "scale_x", "scale_y",
+                     "with_y", "resolution", "interpret"),
 )
-def fused_ozaki_downdate_v2(
-    idx: jax.Array,     # (F * Lp,) int32 row index per fold row, fold-major
+def fused_ozaki_downdate_v3(
     total2: jax.Array,  # (2, KP, CP) total pair planes, KP == CP
-    saN: jax.Array,     # (N, S, KP) int8: dataset slices of weighted X rows
-    sbN: jax.Array,     # (N, S, CP) int8: dataset slices of [X | Y] rows
+    sa: jax.Array,      # (Sp, F * Lp, KP) int8: gathered weighted-X slices
+    sb_rev: jax.Array,  # (Sp, F * Lp, CP) int8: [X | Y] slices, REVERSED
     pa: jax.Array,      # (2, KP) f32 exact 2^e half-factors, A side (global)
     pb: jax.Array,      # (2, CP) f32 half-factors, B side (global)
     gx: jax.Array,      # (4, KP) global [sum_X, sum_sq_X] pairs
+    sxv: jax.Array,     # (F, 2, KP) f32: exact per-fold X colsum pairs
     yvec: jax.Array,    # (F, 2, 2, CP): [q-part pair, i2-part pair] (Y cols)
     ymask: jax.Array,   # (1, CP) f32: 1.0 on Y columns
     scal: jax.Array,    # (F, 1, 128) f32 per-fold scalar pairs
-    mrow: jax.Array,    # (F, Lp, 1, 128) f32 row masks (dummy if not masked)
     *,
-    n_l: int,
     center_xtx: bool,
     center_xty: bool,
     scale_x: bool,
     scale_y: bool,
     with_y: bool,
-    has_mask: bool,
     resolution: float,
     interpret: bool = False,
 ) -> jax.Array:
-    """Slice-plane fused Ozaki downdate -> (F, 2, KP, CP) pairs.
+    """Pre-gathered fused Ozaki downdate -> (F, 2, KP, CP) pairs.
 
-    v2 of :func:`fused_ozaki_downdate_df64`: the dataset is sliced ONCE
-    (global column scales) into int8 planes; the kernel gathers each fold's
-    slice-stack rows itself and derives the X-side statistics from the
-    slices and the product diagonal — no per-fold f64 row gathers, padding,
-    or K-wide stat vectors are ever materialised.
+    v3 of the fused Ozaki design: the caller gathers each chunk's fold rows
+    out of the dataset-global slice planes with ONE fused XLA gather per
+    side (``gather_ozaki_rows``) — masked rows zeroed there — so the kernel
+    sees contiguous per-fold (Sp, Lp, KP) stacks and a plain (F,) grid. The
+    v2 per-row scalar-prefetch gather issued 2 * Lp small DMAs per fold and
+    was DMA-issue-bound at P >= 1000 (measured ~7 us per 8-row step on a
+    v5e); here each fold is two large DMAs, the group products run as deep
+    prefix-stack contractions, and groups beyond :func:`ozaki_trim_groups`
+    are dropped inside a documented error budget.
     """
-    f_folds = idx.shape[0] // n_l
-    n_slices = saN.shape[1]
-    _, kp, cp = total2.shape
+    sp_slices, rows_total, kp = sa.shape
+    cp = sb_rev.shape[2]
+    f_folds = scal.shape[0]
+    lp = rows_total // f_folds
     if kp != cp:
         raise ValueError(f"requires KP == CP, got ({kp},{cp})")
     # 65^2: pair-rounded slices can reach +-(2^T_BITS + 1).
-    if n_slices * n_l * 65 * 65 >= 2 ** 24:
+    if sp_slices * lp * 65 * 65 >= 2 ** 24:
         raise ValueError("fold rows too large for single-f32 group sums")
-    # Rows gathered per grid step: amortises the per-step overhead that
-    # dominates small folds (the row DMAs are ~10 KB each).
-    g = 8 if n_l % 8 == 0 else 1
-    c3 = lambda f, l, idx_ref: (f * 0, f * 0, f * 0)  # noqa: E731
-    c2 = lambda f, l, idx_ref: (f * 0, f * 0)  # noqa: E731
-
-    def row_map(j, width):
-        return pl.BlockSpec(
-            (1, n_slices, width),
-            lambda f, l, idx_ref, j=j: (idx_ref[f * n_l + l * g + j],
-                                        f * 0, f * 0),
-        )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(f_folds, n_l // g),
-        in_specs=[
-            pl.BlockSpec((2, kp, cp), c3),
-            *[row_map(j, kp) for j in range(g)],
-            *[row_map(j, cp) for j in range(g)],
-            pl.BlockSpec((2, kp), c2),
-            pl.BlockSpec((2, cp), c2),
-            pl.BlockSpec((4, kp), c2),
-            pl.BlockSpec((1, 2, 2, cp),
-                         lambda f, l, idx_ref: (f, f * 0, f * 0, f * 0)),
-            pl.BlockSpec((1, cp), c2),
-            pl.BlockSpec((1, 1, 128), lambda f, l, idx_ref: (f, f * 0, f * 0)),
-            pl.BlockSpec(
-                (1, g, 1, 128),
-                (lambda f, l, idx_ref: (f, l, f * 0, f * 0)) if has_mask
-                else (lambda f, l, idx_ref: (f * 0, f * 0, f * 0, f * 0)),
-            ),
-        ],
-        out_specs=pl.BlockSpec((1, 2, kp, cp),
-                               lambda f, l, idx_ref: (f, f * 0, f * 0, f * 0)),
-        scratch_shapes=[
-            pltpu.VMEM((n_l, n_slices, kp), jnp.int8),
-            pltpu.VMEM((n_l, n_slices, cp), jnp.int8),
-        ],
-    )
+    c2 = lambda f: (f * 0, f * 0)  # noqa: E731
+    c3 = lambda f: (f * 0, f * 0, f * 0)  # noqa: E731
+    grid = (f_folds,)
     return pl.pallas_call(
         functools.partial(
-            _ozaki_v2_kernel, n_l=n_l, has_mask=has_mask, rows_per_step=g,
+            _ozaki_v3_kernel,
             center_xtx=center_xtx, center_xty=center_xty,
             scale_x=scale_x, scale_y=scale_y, with_y=with_y,
             resolution=resolution,
         ),
-        grid_spec=grid_spec,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, kp, cp), c3),
+            pl.BlockSpec((sp_slices, lp, kp), lambda f: (f * 0, f, f * 0)),
+            pl.BlockSpec((sp_slices, lp, cp), lambda f: (f * 0, f, f * 0)),
+            pl.BlockSpec((2, kp), c2),
+            pl.BlockSpec((2, cp), c2),
+            pl.BlockSpec((4, kp), c2),
+            pl.BlockSpec((1, 2, kp), lambda f: (f, f * 0, f * 0)),
+            pl.BlockSpec((1, 2, 2, cp), lambda f: (f, f * 0, f * 0, f * 0)),
+            pl.BlockSpec((1, cp), c2),
+            pl.BlockSpec((1, 1, 128), lambda f: (f, f * 0, f * 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, kp, cp),
+                               lambda f: (f, f * 0, f * 0, f * 0)),
         out_shape=jax.ShapeDtypeStruct((f_folds, 2, kp, cp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -1799,36 +1789,42 @@ def fused_ozaki_downdate_v2(
         cost_estimate=pl.CostEstimate(
             flops=(
                 f_folds * kp * cp
-                * (n_slices * (n_slices + 1) * n_l
-                   + 10 * n_slices + 60)
+                * (sp_slices * (sp_slices + 1) * lp
+                   + 7 * sp_slices + 80)
             ),
             bytes_accessed=(
                 f_folds * kp * cp * 8 + kp * cp * 8
-                + f_folds * n_l * n_slices * (kp + cp)
+                + f_folds * sp_slices * lp * (kp + cp)
             ),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(idx, total2, *([saN] * g), *([sbN] * g), pa, pb, gx, yvec, ymask,
-      scal, mrow)
+    )(total2, sa, sb_rev, pa, pb, gx, sxv, yvec, ymask, scal)
 
 
-def fused_ozaki_v2_reference(
-    idx2d, mask2d, total2, saN, sbN, pa, pb, gx, yvec, ymask, scal, *,
-    center_xtx, center_xty, scale_x, scale_y, with_y, resolution,
+def fused_ozaki_v3_reference(
+    idx2d, mask2d, total2, saN, sbN_rev, pa, pb, gx, sxv, yvec, ymask,
+    scal, *, center_xtx, center_xty, scale_x, scale_y, with_y, resolution,
 ):
-    """Eager reference of :func:`fused_ozaki_downdate_v2` (do NOT jit)."""
+    """Eager reference of :func:`fused_ozaki_downdate_v3` (do NOT jit).
+
+    Gathers from the slice-major dataset planes exactly like
+    :func:`cvmatrix_tpu.core.batch.gather_ozaki_rows` and runs the same
+    fold math eagerly (interpret mode's FMA/excess precision is not
+    f32-faithful on CPU; eager per-op rounding is).
+    """
     f_folds, n_l = idx2d.shape
     outs = []
     for f in range(int(f_folds)):
         rows = np.asarray(idx2d[f])
-        sa = saN[rows]  # (Lp, S, KP)
-        sb = sbN[rows]
+        sa = jnp.asarray(np.asarray(saN)[:, rows])      # (Sp, Lp, KP)
+        sb = jnp.asarray(np.asarray(sbN_rev)[:, rows])  # (Sp, Lp, CP)
         if mask2d is not None:
-            m8 = jnp.asarray(np.asarray(mask2d[f]), jnp.int8)
-            sa = sa * m8[:, None, None]
-        oh, ol = _ozaki_v2_fold_math(
-            total2, sa, sb, pa, pb, gx, yvec[f], ymask[0:1, :], scal[f, 0],
+            m = jnp.asarray(np.asarray(mask2d[f]), jnp.float32)
+            sa = jnp.where(m[None, :, None] > 0, sa, jnp.zeros_like(sa))
+        oh, ol = _ozaki_v3_fold_math(
+            total2, sa, sb, pa, pb, gx, sxv[f], yvec[f], ymask[0:1, :],
+            scal[f, 0],
             center_xtx=center_xtx, center_xty=center_xty, scale_x=scale_x,
             scale_y=scale_y, with_y=with_y, resolution=resolution,
         )

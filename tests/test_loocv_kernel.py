@@ -221,22 +221,22 @@ def test_f32_loocv_kernel_interpret(flags):
 
 
 # --------------------------------------------------------------------------- #
-# v2 fused Ozaki kernel (dataset slice planes, in-kernel X stats)             #
+# v3 fused Ozaki kernel (dataset slice planes, prefix-stack products)         #
 # --------------------------------------------------------------------------- #
 
-IDX_V2 = np.arange(96).reshape(2, 48)       # 2 folds of 48 rows
-MASK_V2 = np.ones((2, 48))
-MASK_V2[1, 40:] = 0.0
+IDX_V3 = np.arange(96).reshape(2, 48)       # 2 folds of 48 rows
+MASK_V3 = np.ones((2, 48))
+MASK_V3[1, 40:] = 0.0
 
 
-def _run_v2_reference(cfg, st, with_y, idx, mask):
+def _run_v3_reference(cfg, st, with_y, idx, mask):
     src = B.prepare_ozaki_sources(cfg, st, idx, mask, return_XTX=True,
                                   return_XTY=with_y)
-    pair = KK.fused_ozaki_v2_reference(
+    pair = KK.fused_ozaki_v3_reference(
         np.asarray(src.idx), None if src.mask2d is None else
         np.asarray(src.mask2d),
-        src.total2, src.saN, src.sbN, src.pa, src.pb, src.gx, src.yvec,
-        src.ymask, src.scal,
+        src.total2, src.saN, src.sbN_rev, src.pa, src.pb, src.gx, src.sxv,
+        src.yvec, src.ymask, src.scal,
         center_xtx=cfg.center_X,
         center_xty=cfg.center_X or cfg.center_Y,
         scale_x=cfg.scale_X, scale_y=cfg.scale_Y,
@@ -253,17 +253,17 @@ def _run_v2_reference(cfg, st, with_y, idx, mask):
 ])
 @pytest.mark.parametrize("use_w", [True, False])
 @pytest.mark.parametrize("use_mask", [False, True])
-def test_ozaki_v2_math_lattice(flags, use_w, use_mask):
-    """v2 kernel math (eager twin) vs the XLA engine, incl. masks/padding."""
+def test_ozaki_v3_math_lattice(flags, use_w, use_mask):
+    """v3 kernel math (eager twin) vs the XLA engine, incl. masks/padding."""
     cfg = CVConfig(*flags, ddof=1, dtype=np.float64)
     w = W_ALL if use_w else None
-    mask = MASK_V2 if use_mask else None
+    mask = MASK_V3 if use_mask else None
     for with_y in (True, False):
         st = fit(cfg, X_ALL, Y_ALL if with_y else None, w)
-        assert B.ozaki_v2_ok(cfg, st, True, with_y, IDX_V2.shape[1])
-        got, _ = _run_v2_reference(cfg, st, with_y, IDX_V2, mask)
+        assert B.ozaki_v3_ok(cfg, st, True, with_y, IDX_V3.shape[1])
+        got, _ = _run_v3_reference(cfg, st, with_y, IDX_V3, mask)
         ref = B.training_matrices_batched(
-            cfg, st, IDX_V2, mask, return_XTX=True, return_XTY=with_y,
+            cfg, st, IDX_V3, mask, return_XTX=True, return_XTY=with_y,
             impl="xla",
         )[0]
         if with_y:
@@ -274,12 +274,23 @@ def test_ozaki_v2_math_lattice(flags, use_w, use_mask):
             assert_allclose(got[:, :K, :K], np.asarray(ref), atol=1e-8)
 
 
-def test_ozaki_v2_interpret_wiring():
-    """Pallas wiring of the v2 (F, Lp) grid, slice gather, scratch, masks."""
+def test_ozaki_v3_interpret_wiring():
+    """Pallas wiring of the v3 (F,) grid, gathered stacks, trim, masks."""
     cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
     st = fit(cfg, X_ALL, Y_ALL, W_ALL)
-    ref, src = _run_v2_reference(cfg, st, True, IDX_V2, MASK_V2)
-    pair = B.ozaki_v2_from_sources(cfg, src, return_XTY=True, interpret=True)
+    ref, src = _run_v3_reference(cfg, st, True, IDX_V3, MASK_V3)
+    pair = B.ozaki_v3_from_sources(cfg, src, return_XTY=True, interpret=True)
     got = np.asarray(df_to_f64(pair[:, 0], pair[:, 1]))
     scale = np.max(np.abs(ref))
     assert np.max(np.abs(got - ref)) < 1e-5 * max(scale, 1.0)
+
+
+def test_ozaki_trim_groups_budget():
+    """Trim formula: tail bound within budget, monotone in fold rows."""
+    t = KK._OZAKI_T_BITS
+    for n_l in (1, 10, 32, 100, 128, 384):
+        sp = KK.ozaki_trim_groups(n_l)
+        lp = -(-max(n_l, 1) // 32) * 32
+        assert 1.2 * (sp + 1) * lp * 2.0 ** (-t * sp) <= 2.0 ** -36
+        assert sp <= 10
+    assert KK.ozaki_trim_groups(10) <= KK.ozaki_trim_groups(384)
