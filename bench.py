@@ -116,7 +116,7 @@ def main():
     run_folds(state)
     t_folds = time.perf_counter() - t0
     log(f"warm phases: fit={t_fit:.3f}s folds={t_folds:.3f}s "
-        f"(each incl. one completion round trip)")
+        "(each incl. one completion round trip)")
 
     # Measured: total CV = fit + all folds in ONE device-chained run with a
     # single completion barrier at the end — the reference's methodology

@@ -36,6 +36,16 @@ class CVConfig:
     (16 combinations), ``ddof``, and ``dtype``. ``copy`` and ``backend`` from
     the reference do not apply (JAX always owns device buffers; the backend is
     JAX-only by design — see SURVEY.md §2 "Backend resolver").
+
+    >>> import numpy as np
+    >>> cfg = CVConfig(center_X=True, center_Y=False, scale_X=False,
+    ...                scale_Y=False, ddof=0, dtype=np.float32)
+    >>> cfg.dtype is np.float32
+    True
+    >>> CVConfig(dtype=np.int32)
+    Traceback (most recent call last):
+        ...
+    ValueError: dtype must be a floating dtype, got dtype('int32').
     """
 
     center_X: bool = True

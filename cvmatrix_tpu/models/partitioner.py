@@ -36,7 +36,15 @@ __all__ = ["Partitioner"]
 
 
 class Partitioner:
-    """Maps each fold identifier to its validation-row indices."""
+    """Maps each fold identifier to its validation-row indices.
+
+    >>> import numpy as np
+    >>> p = Partitioner(np.array([0, 1, 0, 2, 1, 0]))
+    >>> p.get_validation_indices(0)
+    array([0, 2, 5])
+    >>> sorted(int(k) for k in p.folds_dict)
+    [0, 1, 2]
+    """
 
     def __init__(self, folds: Iterable[Hashable]) -> None:
         self.folds_dict: Dict[Hashable, np.ndarray] = self._build(folds)

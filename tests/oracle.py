@@ -15,7 +15,7 @@ not from the reference's code structure.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -9,7 +9,6 @@ from itertools import product
 
 import jax
 import jax.experimental.pallas as pl
-import jax.numpy as jnp
 import numpy as np
 import pytest
 from numpy.testing import assert_allclose

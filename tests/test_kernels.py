@@ -4,7 +4,6 @@ On CPU the kernel runs through the Pallas interpreter; the same code path is
 exercised compiled on TPU by the benchmark harness.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -16,7 +16,6 @@ import numpy as np
 import pytest
 from numpy.testing import assert_allclose
 
-import jax
 import jax.numpy as jnp
 
 from cvmatrix_tpu import CVConfig, fit

@@ -13,8 +13,6 @@ import socket
 import subprocess
 import sys
 
-import numpy as np
-import pytest
 
 _WORKER = r"""
 import os, sys
