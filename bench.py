@@ -47,6 +47,10 @@ def main():
 
     from cvmatrix_tpu import CVConfig, Partitioner, fit
     from cvmatrix_tpu.models.sweep import materialize_sweep
+    from cvmatrix_tpu.utils import enable_persistent_cache
+
+    if os.environ.get("BENCH_PERSISTENT_CACHE", "1") != "0":
+        log(f"persistent compile cache: {enable_persistent_cache()}")
 
     impl = os.environ.get("BENCH_IMPL", "auto")
 

@@ -202,6 +202,11 @@ def main():
     import jax
 
     from cvmatrix_tpu import __version__
+    from cvmatrix_tpu.utils import enable_persistent_cache
+
+    if os.environ.get("BENCH_PERSISTENT_CACHE", "1") != "0":
+        print("persistent compile cache:", enable_persistent_cache(),
+              file=sys.stderr, flush=True)
 
     N = int(os.environ.get("BENCH_N", 100_000))
     K = int(os.environ.get("BENCH_K", 500))

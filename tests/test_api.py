@@ -9,6 +9,8 @@ consistency across the four public methods :1294-1355; dtype preservation
 
 from itertools import product
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -245,3 +247,19 @@ def test_float16_dtype():
     (na, nb), _ = naive.training_XTX_XTY(ti)
     # f16 has ~3 decimal digits; magnitudes here are O(40)
     np.testing.assert_allclose(np.asarray(a, np.float64), na, rtol=0.15)
+
+
+def test_enable_persistent_cache(tmp_path):
+    """Cache helper sets the JAX knobs and creates the directory."""
+    import jax
+
+    from cvmatrix_tpu.utils import enable_persistent_cache
+
+    d = str(tmp_path / "xla-cache")
+    try:
+        got = enable_persistent_cache(d)
+        assert got == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
