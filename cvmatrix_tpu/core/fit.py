@@ -77,14 +77,17 @@ def fit(
         WX = X * w
         WY = Y_arr * w if (Y_arr is not None and config.needs_WY) else None
 
-    # Global products (ref :1209-1217), fused over [X | Y].
+    # Global products (ref :1209-1217), fused over [X | Y]. The X block of
+    # the fused product is symmetric (X^T W X), which the exact path
+    # exploits at wide K (SYRK block skipping, see ops.precise.contract).
     if Y_arr is not None:
         prod = contract(WX, jnp.concatenate([X, Y_arr], axis=1),
-                        mode=config.matmul_mode)
+                        mode=config.matmul_mode, symmetric_k=X.shape[1])
         XTX = prod[:, : X.shape[1]]
         XTY = prod[:, X.shape[1]:]
     else:
-        XTX = contract(WX, X, mode=config.matmul_mode)
+        XTX = contract(WX, X, mode=config.matmul_mode,
+                       symmetric_k=X.shape[1])
         XTY = None
 
     # Global statistics (ref :1219-1243), conditional on the flags.

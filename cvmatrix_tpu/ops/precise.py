@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["contract", "ozaki_contract", "outer_accumulate_contract",
-           "row_slice_operands"]
+           "row_slice_operands", "symmetric_contract"]
 
 # Bits per mantissa slice. Slice values lie in [-2^T_BITS, 2^T_BITS] and fit
 # int8; a product of two slices fits 2*T_BITS+1 bits, leaving int32 headroom
@@ -237,6 +237,146 @@ def ozaki_contract(
     return out.astype(out_dtype)
 
 
+def symmetric_contract(
+    a: jax.Array,
+    b: jax.Array,
+    k: int,
+    *,
+    n_slices: int = _N_SLICES,
+    col_block: int = 2048,
+    out_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """``a.T @ b`` exploiting symmetry of the leading ``(k, k)`` block (SYRK).
+
+    ``a`` is the weighted operand (N, k) and ``b = [X | Y]`` (N, k + m) with
+    ``b[:, :k]`` the unweighted twin of ``a``, so ``(a.T @ b)[:, :k]`` is
+    symmetric (the fit products, ref ``cvmatrix/cvmatrix.py:1215-1217``).
+    Only the upper-triangular column-block pairs of the X block are
+    computed — one :func:`ozaki_contract`-grade int8-MXU contraction per
+    pair, scanned so the trace stays one block pair deep — and the strict
+    lower blocks are mirrored. At ``B`` column blocks this skips
+    ``(B-1)/2B`` of the MXU work (~45% at B=10), which dominates at
+    genomics-wide ``k``.
+
+    Accuracy: identical arithmetic to :func:`ozaki_contract` per computed
+    block. Mirrored entries equal their transposed twins *exactly*; they
+    differ from a full computation only through the rounding asymmetry of
+    the weighted operand (``fl(w*x)_i * x_j  vs  fl(w*x)_j * x_i``),
+    ~2^-53 relative — far inside the engine's contract.
+    """
+    if out_dtype is None:
+        out_dtype = a.dtype
+    n, ka = a.shape
+    m = b.shape[1] - k
+    assert ka == k, (ka, k)
+    f64 = jnp.float64
+
+    cb = min(col_block, _round_up_pow2_cap(k))
+    nb = -(-k // cb)
+    ka_pad = nb * cb
+
+    e_a = _column_scale(a)
+    e_b = _column_scale(b)
+    a_scaled = a.astype(f64) * _pow2(-e_a)[None, :]
+    b_scaled = b.astype(f64) * _pow2(-e_b)[None, :]
+    if ka_pad != k:
+        a_scaled = jnp.pad(a_scaled, ((0, 0), (0, ka_pad - k)))
+        bx_scaled = jnp.pad(b_scaled[:, :k], ((0, 0), (0, ka_pad - k)))
+    else:
+        bx_scaled = b_scaled[:, :k]
+    y_scaled = b_scaled[:, k:] if m else None
+
+    # Upper-triangular block pairs (bi <= bj), as column starts.
+    pairs = np.array(
+        [(i * cb, j * cb) for i in range(nb) for j in range(i, nb)],
+        dtype=np.int32,
+    )
+    bi_arr = jnp.asarray(pairs[:, 0])
+    bj_arr = jnp.asarray(pairs[:, 1])
+
+    group_scale = [2.0 ** (-_T_BITS * (s + 2.0)) for s in range(n_slices)]
+
+    outs = jnp.zeros((len(pairs), cb, cb), f64)
+    y_acc = jnp.zeros((ka_pad, m), f64) if m else None
+    # Row chunks sized so prefix-stack int32 group sums stay exact:
+    # n_slices * chunk * 65^2 < 2^31.
+    chunk = _GROUP_CHUNK
+    for start in range(0, max(n, 1), chunk):
+        stop = min(start + chunk, n)
+        rows = stop - start
+        sa = jnp.stack(_mantissa_slices(a_scaled[start:stop], n_slices))
+        sb_rev = jnp.stack(
+            _mantissa_slices(bx_scaled[start:stop], n_slices)[::-1]
+        )
+        sa_flat = sa.reshape(n_slices * rows, ka_pad)
+        sb_flat = sb_rev.reshape(n_slices * rows, ka_pad)
+
+        def pair_body(carry, ij, sa_flat=sa_flat, sb_flat=sb_flat,
+                      rows=rows):
+            bi, bj = ij
+            sa_ij = jax.lax.dynamic_slice_in_dim(sa_flat, bi, cb, axis=1)
+            sb_ij = jax.lax.dynamic_slice_in_dim(sb_flat, bj, cb, axis=1)
+            acc = jnp.zeros((cb, cb), f64)
+            for s in range(n_slices):
+                d32 = jax.lax.dot_general(
+                    jax.lax.slice_in_dim(sa_ij, 0, (s + 1) * rows, axis=0),
+                    jax.lax.slice_in_dim(
+                        sb_ij, (n_slices - 1 - s) * rows,
+                        n_slices * rows, axis=0,
+                    ),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc = acc + d32.astype(f64) * group_scale[s]
+            return carry, acc
+
+        _, outs_chunk = jax.lax.scan(pair_body, None, (bi_arr, bj_arr))
+        outs = outs + outs_chunk
+
+        if m:
+            sy = jnp.stack(
+                _mantissa_slices(y_scaled[start:stop], n_slices)[::-1]
+            ).reshape(n_slices * rows, m)
+            for s in range(n_slices):
+                d32 = jax.lax.dot_general(
+                    jax.lax.slice_in_dim(sa_flat, 0, (s + 1) * rows, axis=0),
+                    jax.lax.slice_in_dim(
+                        sy, (n_slices - 1 - s) * rows, n_slices * rows,
+                        axis=0,
+                    ),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y_acc = y_acc + d32.astype(f64) * group_scale[s]
+
+    # Assemble: scatter the computed pairs AND their transposed strict-upper
+    # twins into the (nb, nb) block grid in one pass (one output-sized
+    # buffer — a scatter-then-mirror would double-buffer multi-GB arrays at
+    # genomics-wide k), then crop the padding.
+    iidx = pairs[:, 0] // cb
+    jidx = pairs[:, 1] // cb
+    strict = np.where(iidx != jidx)[0]
+    all_i = jnp.asarray(np.concatenate([iidx, jidx[strict]]))
+    all_j = jnp.asarray(np.concatenate([jidx, iidx[strict]]))
+    vals = jnp.concatenate(
+        [outs, jnp.transpose(outs[jnp.asarray(strict)], (0, 2, 1))]
+    )
+    grid = jnp.zeros((nb, nb, cb, cb), f64).at[all_i, all_j].set(vals)
+    xtx = jnp.transpose(grid, (0, 2, 1, 3)).reshape(ka_pad, ka_pad)[:k, :k]
+
+    e_ax = e_a[:, None]
+    out_x = xtx * _pow2(e_ax + e_b[None, :k])
+    if m:
+        out_y = y_acc[:k] * _pow2(e_ax + e_b[None, k:])
+        return jnp.concatenate([out_x, out_y], axis=1).astype(out_dtype)
+    return out_x.astype(out_dtype)
+
+
+def _round_up_pow2_cap(k: int) -> int:
+    """Largest sane block width for ``k`` columns (multiple of 128)."""
+    return max(128, ((k + 127) // 128) * 128)
+
+
 def outer_accumulate_contract(a: jax.Array, b: jax.Array) -> jax.Array:
     """``a.T @ b`` as a scan of rank-one outer-product updates.
 
@@ -278,16 +418,25 @@ def contract(
     *,
     mode: str = "auto",
     small_n_threshold: int = 16,
+    symmetric_k: Optional[int] = None,
 ) -> jax.Array:
     """``a.T @ b`` contraction over axis 0, precision-policy aware.
 
     This is the single entry point used by both the fit-time global products
     (reference ``cvmatrix/cvmatrix.py:1209-1217``) and the per-fold
     validation-block downdate products (``:1001``).
+
+    ``symmetric_k``: when the leading ``(k, k)`` output block is known
+    symmetric (``b[:, :k]`` is the unweighted twin of ``a`` — the fit
+    call), wide-``k`` exact contractions route through the SYRK path.
     """
     if _use_exact(mode, a.dtype):
         if a.shape[0] <= small_n_threshold:
             return outer_accumulate_contract(a, b)
+        if symmetric_k is not None and symmetric_k >= 2048:
+            # Wide k is MXU-bound; skipping the lower-triangular column
+            # block pairs saves (B-1)/2B of the MXU work.
+            return symmetric_contract(a, b, symmetric_k)
         return ozaki_contract(a, b)
     return jax.lax.dot_general(
         a,

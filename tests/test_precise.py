@@ -148,3 +148,38 @@ def test_slice_rows_kernel_exact_decomposition():
         # tolerance needs only ~2^-27).
         scaled_raw = x * np.asarray(_pow2(-e))[None, :]
         assert np.max(np.abs(recon - scaled_raw)) < 2.0 ** -47
+
+
+def test_symmetric_contract_matches_full():
+    """SYRK block skipping: f64-grade, exactly-mirrored strict blocks."""
+    from cvmatrix_tpu.ops.precise import symmetric_contract
+
+    rng = np.random.default_rng(7)
+    n, k, m = 1200, 300, 4
+    x = rng.random((n, k)) * 10 - 5
+    w = rng.random(n)
+    a = jnp.asarray(x * w[:, None])
+    b = jnp.asarray(np.concatenate([x, rng.random((n, m))], axis=1))
+    ref = np.asarray(a).T @ np.asarray(b)
+    got = np.asarray(symmetric_contract(a, b, k, col_block=128))
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(got - ref)) / scale < 1e-14
+    # mirrored strict blocks are exact transposes; only the diagonal
+    # blocks carry the weighted operand's rounding asymmetry
+    xb = got[:, :k]
+    off = xb[:128, 128:256] - xb[128:256, :128].T
+    assert np.max(np.abs(off)) == 0.0
+
+
+def test_symmetric_contract_no_y_and_row_chunking():
+    from cvmatrix_tpu.ops.precise import _GROUP_CHUNK, symmetric_contract
+
+    rng = np.random.default_rng(8)
+    n = _GROUP_CHUNK + 513  # cross a row-chunk boundary
+    k = 160
+    x = rng.random((n, k)) - 0.5
+    a = jnp.asarray(x * rng.random(n)[:, None])
+    b = jnp.asarray(x)
+    ref = np.asarray(a).T @ np.asarray(b)
+    got = np.asarray(symmetric_contract(a, b, k, col_block=128))
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-14
