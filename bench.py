@@ -125,11 +125,23 @@ def main():
     # Measured: total CV = fit + all folds in ONE device-chained run with a
     # single completion barrier at the end — the reference's methodology
     # (fit + every fold, then one block_until_ready:
-    # ``benchmarks/benchmark.py:148-152``). The fold sweep consumes the
-    # fitted state on-device, so no intermediate fetch is needed.
-    def total_cv():
-        st = jfit(cfg, Xd, Yd, wd)
-        return run_folds(st)  # probe fetch = the single barrier
+    # ``benchmarks/benchmark.py:148-152``). With a single fold-size bucket
+    # (the common case) the FUSED driver runs fit + sweep as one compiled
+    # program and shares the dataset slice planes between the fit
+    # contraction and the fold kernel (materialize_cv); otherwise the fold
+    # sweep consumes the fitted state on-device, no intermediate fetch.
+    from cvmatrix_tpu.models.sweep import materialize_cv
+
+    if len(stacks) == 1:
+        def total_cv():
+            return float(materialize_cv(
+                cfg, Xd, Yd, wd, jnp.asarray(stacks[0]),
+                batch_size=batch, impl=impl,
+            ))
+    else:
+        def total_cv():
+            st = jfit(cfg, Xd, Yd, wd)
+            return run_folds(st)  # probe fetch = the single barrier
 
     state = None
     total_cv()  # warm any refit-shape difference

@@ -5,6 +5,9 @@ Figure families:
   2. all preprocessing combinations over P                -> *_combos.png
   3. fold-phase achieved GB/s vs the HBM roofline over P  -> *_roofline.png
      (TPU-native; no reference equivalent)
+  4. JIT-mode comparison (nojit / coldjit / warmjit) over P -> *_jit_modes.png
+     (counterpart of the reference's jit-mode figure family,
+     ref ``benchmarks/plot_benchmark.py:308-407``)
 
 Usage: python benchmarks/plot_benchmark.py [results.csv]
 """
@@ -88,6 +91,44 @@ def plot_roofline(df, out, hbm_gbps=819.0):
     print("wrote", out)
 
 
+def plot_jit_modes(df, out):
+    """nojit vs coldjit vs warmjit total time over P (per flag combo).
+
+    The mode is the trailing ``-{mode}`` token of the model column (see
+    ``benchmark.py:run_cvmatrix``). The figure answers the reference's
+    jit-modes question — what JIT costs you cold and buys you warm — for
+    the TPU engine (ref ``benchmarks/plot_benchmark.py:308-407``).
+    """
+    fast = df[df.model.str.startswith("CVMatrix")].copy()
+    if fast.empty:
+        return
+    fast["mode"] = fast.model.str.rsplit("-", n=1).str[-1]
+    modes = [m for m in ("nojit", "coldjit", "warmjit")
+             if (fast["mode"] == m).any()]
+    if len(modes) < 2:
+        return  # nothing to compare
+    fast["flags"] = fast.apply(flag_label, axis=1)
+    style = {"nojit": dict(ls=":", marker="x"),
+             "coldjit": dict(ls="--", marker="s"),
+             "warmjit": dict(ls="-", marker="o")}
+    fig, ax = plt.subplots(figsize=(6, 6))
+    for (mode, flags), g in fast.groupby(["mode", "flags"]):
+        if mode not in style:
+            continue
+        # Keep the LAST row per P (latest measurement wins, like the
+        # grid CSV's append-only convention).
+        g = g.sort_values("P").groupby("P", as_index=False).last()
+        ax.loglog(g.P, g.time, alpha=0.8, label=f"{mode} {flags}",
+                  **style[mode])
+    ax.set_xlabel("P (folds)")
+    ax.set_ylabel("total cross-validation time (s)")
+    ax.legend(fontsize=7, ncol=2)
+    ax.grid(True, which="both", alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print("wrote", out)
+
+
 if __name__ == "__main__":
     csv = sys.argv[1] if len(sys.argv) > 1 else "benchmark_results.csv"
     df = pd.read_csv(csv)
@@ -95,3 +136,4 @@ if __name__ == "__main__":
     plot_vs_naive(df, base + "_vs_naive.png")
     plot_combos(df, base + "_combos.png")
     plot_roofline(df, base + "_roofline.png")
+    plot_jit_modes(df, base + "_jit_modes.png")

@@ -39,9 +39,12 @@ from .fold import gather_val_blocks, _compute_training_stats, training_matrices
 from .state import FitState
 
 __all__ = [
+    "DatasetPlanes",
     "FoldOperands",
     "LoocvSources",
     "OzakiSources",
+    "contract_from_planes",
+    "dataset_planes",
     "gather_ozaki_rows",
     "loocv_single_tile_ok",
     "loocv_f32_from_sources",
@@ -1068,6 +1071,108 @@ def ozaki_v3_ok(config: CVConfig, state: FitState, return_XTX: bool,
     )
 
 
+class DatasetPlanes(NamedTuple):
+    """Slice-major int8 mantissa planes of the whole dataset.
+
+    Built ONCE per dataset with GLOBAL per-column scales and shared between
+    the fit contraction (:func:`contract_from_planes` — the fit products
+    ``WX^T [X|Y]`` use exactly these operands) and the v3 fold kernel
+    (:func:`prepare_ozaki_sources` trims them to the fold error budget).
+    """
+
+    saN: jnp.ndarray      # (S, N, Kp) int8, weighted X
+    sbN_rev: jnp.ndarray  # (S, N, Cp) int8, [X | Y], REVERSED slice order
+    pa: jnp.ndarray       # (2, Kp) f32 exact 2^e half-factors, A side
+    pb: jnp.ndarray       # (2, Cp) f32 half-factors, B side
+    kp: int
+    cp: int
+
+
+def dataset_planes(
+    config: CVConfig,
+    state: FitState,
+    *,
+    with_y: bool,
+    n_slices: int = 10,
+    kp: int = None,
+    cp: int = None,
+) -> DatasetPlanes:
+    """Slice the dataset into global-scale int8 planes (see DatasetPlanes)."""
+    from ..ops.precise import _column_scale, _mantissa_slices, _pow2
+
+    k = state.K
+    if kp is None:
+        kp = _round_up(max(k, 8), 128)
+    if cp is None:
+        cp = kp
+    f64 = jnp.float64
+
+    def slice_planes(mat_parts, width, reverse):
+        """[(mat, col0), ...] -> (S, N, width) int8 + (2, width) pow2."""
+        n = mat_parts[0][0].shape[0]
+        padded = jnp.zeros((n, width), f64)
+        for mat, col0 in mat_parts:
+            padded = padded.at[:, col0:col0 + mat.shape[1]].set(
+                mat.astype(f64))
+        e = _column_scale(padded)
+        scaled = padded * _pow2(-e)[None, :]
+        sl = _mantissa_slices(scaled, n_slices)
+        planes = jnp.stack(sl[::-1] if reverse else sl)
+        h1 = jnp.clip(e, -127, 127)
+        pows = jnp.stack([
+            jnp.ldexp(jnp.float32(1.0), h1),
+            jnp.ldexp(jnp.float32(1.0), e - h1),
+        ])
+        return planes, pows
+
+    X_w = state.WX if state.weights is not None else state.X
+    saN, pa = slice_planes([(X_w, 0)], kp, reverse=False)
+    b_parts = [(state.X, 0)]
+    if with_y:
+        b_parts.append((state.Y, k))
+    sbN_rev, pb = slice_planes(b_parts, cp, reverse=True)
+    return DatasetPlanes(saN, sbN_rev, pa, pb, kp, cp)
+
+
+def contract_from_planes(planes: DatasetPlanes) -> jnp.ndarray:
+    """Exact fused product ``WX^T [X|Y]`` -> (Kp, Cp) float64 from planes.
+
+    Identical arithmetic to :func:`cvmatrix_tpu.ops.precise.ozaki_contract`'s
+    same-exponent group path (prefix-stack int8 MXU products, exact int32
+    group sums per row chunk, float64 recombination) — but consuming the
+    ALREADY-SLICED dataset planes, so a fused fit+sweep pays the slicing
+    pass once (ref products: ``cvmatrix/cvmatrix.py:1215-1217``).
+    """
+    s_groups, n, kp = planes.saN.shape
+    cp = planes.sbN_rev.shape[2]
+    f64 = jnp.float64
+    # Row chunks sized so prefix-stack int32 group sums stay exact:
+    # s_groups * chunk * 65^2 < 2^31.
+    chunk = 1 << 15
+    acc = jnp.zeros((kp, cp), f64)
+    for start in range(0, max(n, 1), chunk):
+        stop = min(start + chunk, n)
+        rows = stop - start
+        sa_flat = planes.saN[:, start:stop].reshape(s_groups * rows, kp)
+        sb_flat = planes.sbN_rev[:, start:stop].reshape(s_groups * rows, cp)
+        for s in range(s_groups):
+            d32 = jax.lax.dot_general(
+                jax.lax.slice_in_dim(sa_flat, 0, (s + 1) * rows, axis=0),
+                jax.lax.slice_in_dim(
+                    sb_flat, (s_groups - 1 - s) * rows, s_groups * rows,
+                    axis=0,
+                ),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = acc + d32.astype(f64) * (
+                2.0 ** (-float(kernels._OZAKI_T_BITS) * (s + 2.0))
+            )
+    scale_a = planes.pa[0].astype(f64) * planes.pa[1].astype(f64)
+    scale_b = planes.pb[0].astype(f64) * planes.pb[1].astype(f64)
+    return acc * (scale_a[:, None] * scale_b[None, :])
+
+
 def gather_ozaki_rows(saN, sbN_rev, rows, mask_rows=None):
     """Gather fold rows from the slice-major dataset planes.
 
@@ -1093,6 +1198,7 @@ def prepare_ozaki_sources(
     *,
     return_XTX: bool = True,
     return_XTY: bool = True,
+    planes: DatasetPlanes = None,
 ) -> OzakiSources:
     """Build dataset slice planes + per-fold vectors for the v3 kernel.
 
@@ -1103,8 +1209,11 @@ def prepare_ozaki_sources(
     Exact X-side validation column sums, the (tiny) Y-side statistic
     vectors and the O(F) scalars are computed per fold here, outside the
     kernel.
+
+    ``planes``: optionally reuse :func:`dataset_planes` built with >= the
+    trim count of slices (a fused fit+sweep shares them with the fit
+    contraction); they are trimmed to the fold error budget here.
     """
-    from ..ops.precise import _column_scale, _mantissa_slices, _pow2
     from .fold import FoldBlocks, _compute_training_stats
 
     idx = jnp.asarray(idx_batch)
@@ -1133,30 +1242,20 @@ def prepare_ozaki_sources(
     with_y = return_XTY
     f64 = jnp.float64
 
-    def slice_planes(mat_parts, width, reverse):
-        """[(mat, col0), ...] -> (Sp, N, width) int8 + (2, width) pow2."""
-        n = mat_parts[0][0].shape[0]
-        padded = jnp.zeros((n, width), f64)
-        for mat, col0 in mat_parts:
-            padded = padded.at[:, col0:col0 + mat.shape[1]].set(
-                mat.astype(f64))
-        e = _column_scale(padded)
-        scaled = padded * _pow2(-e)[None, :]
-        sl = _mantissa_slices(scaled, n_sp)
-        planes = jnp.stack(sl[::-1] if reverse else sl)
-        h1 = jnp.clip(e, -127, 127)
-        pows = jnp.stack([
-            jnp.ldexp(jnp.float32(1.0), h1),
-            jnp.ldexp(jnp.float32(1.0), e - h1),
-        ])
-        return planes, pows
-
+    if planes is None:
+        planes = dataset_planes(config, state, with_y=with_y,
+                                n_slices=n_sp, kp=kp, cp=cp)
+    # Trim to the fold error budget: the A side keeps the FIRST n_sp
+    # slices; the (reversed) B side keeps the LAST n_sp entries — slices
+    # n_sp-1 .. 0 in the prefix-stack order the kernel expects.
+    n_built = planes.saN.shape[0]
+    saN = planes.saN if n_built == n_sp else planes.saN[:n_sp]
+    sbN_rev = (
+        planes.sbN_rev if n_built == n_sp
+        else planes.sbN_rev[n_built - n_sp:]
+    )
+    pa, pb = planes.pa, planes.pb
     X_w = state.WX if weighted else state.X
-    saN, pa = slice_planes([(X_w, 0)], kp, reverse=False)
-    b_parts = [(state.X, 0)]
-    if with_y:
-        b_parts.append((state.Y, k))
-    sbN_rev, pb = slice_planes(b_parts, cp, reverse=True)
 
     center = config.center_X or (with_y and config.center_Y)
     need_x_mean = center or config.scale_X

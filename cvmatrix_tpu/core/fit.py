@@ -53,12 +53,17 @@ def fit(
     weights: Optional[object] = None,
     *,
     validate: bool = True,
+    products: Optional[tuple] = None,
 ) -> FitState:
     """Compute the dataset-wide products and statistics.
 
     Raises ``ValueError`` for negative weights when values are concrete
     (ref :1186-1189); under tracing the check is skipped (host pre-flight
     contract, ref :620-624).
+
+    ``products``: optional precomputed ``(XTX, XTY)`` (XTY may be None) —
+    used by the fused fit+sweep driver, which derives the products from
+    the shared dataset slice planes instead of a second contraction.
     """
     dtype = config.dtype
     X = _init_mat(X, dtype)
@@ -80,7 +85,9 @@ def fit(
     # Global products (ref :1209-1217), fused over [X | Y]. The X block of
     # the fused product is symmetric (X^T W X), which the exact path
     # exploits at wide K (SYRK block skipping, see ops.precise.contract).
-    if Y_arr is not None:
+    if products is not None:
+        XTX, XTY = products
+    elif Y_arr is not None:
         prod = contract(WX, jnp.concatenate([X, Y_arr], axis=1),
                         mode=config.matmul_mode, symmetric_k=X.shape[1])
         XTX = prod[:, : X.shape[1]]

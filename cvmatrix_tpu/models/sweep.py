@@ -24,7 +24,8 @@ from ..core.fold import training_matrices
 from ..core.state import FitState
 from .partitioner import Partitioner
 
-__all__ = ["cross_validate", "cross_validate_reduce", "materialize_sweep"]
+__all__ = ["cross_validate", "cross_validate_reduce", "materialize_cv",
+           "materialize_sweep"]
 
 
 def _auto_batch(n_folds: int, k: int, m: int, itemsize: int,
@@ -371,31 +372,7 @@ def _materialize_sweep_impl(
             config, state, idx[:n], None if mask is None else mask[:n],
             return_XTX=return_XTX, return_XTY=return_XTY,
         )
-        rows_flat = src.idx.reshape(-1).astype(jnp.int32)
-        mask_flat = (
-            None if src.mask2d is None
-            else src.mask2d.reshape(-1).astype(jnp.float32)
-        )
-        lp = src.lp
-
-        def body(c, carry):
-            rows = jax.lax.dynamic_slice_in_dim(
-                rows_flat, c * (bs * lp), bs * lp, 0)
-            mk = (
-                None if mask_flat is None
-                else jax.lax.dynamic_slice_in_dim(
-                    mask_flat, c * (bs * lp), bs * lp, 0)
-            )
-            sx = jax.lax.dynamic_slice_in_dim(src.sxv, c * bs, bs, 0)
-            sc = jax.lax.dynamic_slice_in_dim(src.scal, c * bs, bs, 0)
-            yv = jax.lax.dynamic_slice_in_dim(src.yvec, c * bs, bs, 0)
-            return ozaki_v3_from_sources(
-                config, src, rows, mk, sx, sc, yv, return_XTY=return_XTY,
-            )
-
-        buf0 = jnp.zeros((bs, 2, src.kp, src.cp), jnp.float32)
-        buf = jax.lax.fori_loop(0, n_chunks, body, buf0)
-        return buf.reshape(-1)[0]
+        return _v3_sweep_loop(config, src, bs, n_chunks, return_XTY)
 
     if use_packed and idx.shape[1] < threshold:
         n = n_chunks * bs
@@ -460,10 +437,158 @@ def _materialize_sweep_impl(
     return sum(leaf.reshape(-1)[0] for leaf in jax.tree.leaves(bufs))
 
 
+def _v3_sweep_loop(config, src, bs, n_chunks, return_XTY):
+    """fori_loop over fold chunks through the v3 fused Ozaki kernel."""
+    from ..core.batch import ozaki_v3_from_sources
+
+    rows_flat = src.idx.reshape(-1).astype(jnp.int32)
+    mask_flat = (
+        None if src.mask2d is None
+        else src.mask2d.reshape(-1).astype(jnp.float32)
+    )
+    lp = src.lp
+
+    def body(c, carry):
+        rows = jax.lax.dynamic_slice_in_dim(
+            rows_flat, c * (bs * lp), bs * lp, 0)
+        mk = (
+            None if mask_flat is None
+            else jax.lax.dynamic_slice_in_dim(
+                mask_flat, c * (bs * lp), bs * lp, 0)
+        )
+        sx = jax.lax.dynamic_slice_in_dim(src.sxv, c * bs, bs, 0)
+        sc = jax.lax.dynamic_slice_in_dim(src.scal, c * bs, bs, 0)
+        yv = jax.lax.dynamic_slice_in_dim(src.yvec, c * bs, bs, 0)
+        return ozaki_v3_from_sources(
+            config, src, rows, mk, sx, sc, yv, return_XTY=return_XTY,
+        )
+
+    buf0 = jnp.zeros((bs, 2, src.kp, src.cp), jnp.float32)
+    buf = jax.lax.fori_loop(0, n_chunks, body, buf0)
+    return buf.reshape(-1)[0]
+
+
 # Module-level jit so repeat sweeps hit the compilation cache (a fresh jit
 # wrapper per call would recompile the whole fori_loop program every time).
 _materialize_sweep_jit = jax.jit(
     _materialize_sweep_impl, static_argnums=(0, 1, 2, 3, 4, 5, 6)
+)
+
+
+def materialize_cv(
+    config: CVConfig,
+    X,
+    Y=None,
+    weights=None,
+    idx_batch=None,
+    mask_batch=None,
+    *,
+    batch_size: Optional[int] = None,
+    impl: str = "auto",
+    return_XTX: bool = True,
+    return_XTY: bool = True,
+    hbm_budget_bytes: float = 4e9,
+):
+    """Fit + full fold sweep as ONE compiled program; returns a probe scalar.
+
+    The total-CV throughput primitive (the reference's headline quantity:
+    one fit plus every fold's training matrices,
+    ``benchmarks/benchmark.py:148-152``). Beyond chaining the phases
+    device-side, the fused program shares work between them: when the fold
+    batch routes through the v3 Ozaki kernel, the dataset slice planes are
+    built ONCE and consumed by BOTH the fit contraction
+    (:func:`~cvmatrix_tpu.core.batch.contract_from_planes` — the fit
+    products use exactly the same operand pair) and the per-fold downdate
+    kernel, eliminating the duplicate slicing pass and the separate fit
+    dispatch.
+
+    Fetching the returned scalar is the completion barrier for the whole
+    fit + sweep.
+    """
+    X = jnp.asarray(X, config.dtype)
+    if X.ndim == 1:
+        X = X.reshape(-1, 1)
+    Yd = None if Y is None else jnp.asarray(Y, config.dtype)
+    if Yd is not None and Yd.ndim == 1:
+        Yd = Yd.reshape(-1, 1)
+    wd = None if weights is None else jnp.asarray(weights, config.dtype)
+
+    idx = jnp.asarray(idx_batch)
+    mask = None if mask_batch is None else jnp.asarray(mask_batch, config.dtype)
+    n_folds = idx.shape[0]
+    dt = np.dtype(config.dtype)
+    k = X.shape[1]
+    m = (Yd.shape[1] if Yd is not None else 0) if return_XTY else 0
+    if batch_size is None:
+        c = (k if return_XTX else 0) + m
+        per_fold = 2 * 8 * max(k * c, 1)
+        batch_size = max(1, min(2000, int(hbm_budget_bytes / per_fold)))
+    bs = min(batch_size, n_folds)
+    n_chunks_eq = -(-n_folds // bs)
+    bs = -(-n_folds // n_chunks_eq)
+    on_tpu = jax.default_backend() == "tpu"
+    use_pairs = impl != "xla" and on_tpu and dt.itemsize == 8
+    use_f32_packed = impl != "xla" and on_tpu and dt.itemsize == 4
+    kernel_impl = "pallas" if (use_pairs or use_f32_packed) else impl
+
+    idx, mask = _pad_folds(idx, mask, bs)
+    n_chunks = idx.shape[0] // bs
+    return _materialize_cv_jit(
+        config, bs, n_chunks, return_XTX, return_XTY, kernel_impl,
+        use_pairs or use_f32_packed, X, Yd, wd, idx, mask,
+    )
+
+
+def _materialize_cv_impl(
+    config, bs, n_chunks, return_XTX, return_XTY, impl, use_packed,
+    X, Y, w, idx, mask,
+):
+    import dataclasses
+
+    from ..core.batch import (
+        contract_from_planes,
+        dataset_planes,
+        large_fold_threshold,
+        ozaki_v3_ok,
+        prepare_ozaki_sources,
+    )
+    from ..core.fit import fit
+
+    # Data/statistics fields first (products deferred) so the v3 route can
+    # derive the products from the shared slice planes.
+    pre = fit(config, X, Y, w, validate=False, products=(None, None))
+    is_f64 = np.dtype(config.dtype).itemsize == 8
+    n_l = idx.shape[1]
+    share = (
+        use_packed and is_f64 and mask is None and n_l > 1
+        and n_l >= large_fold_threshold(config, pre, return_XTX, return_XTY)
+        and ozaki_v3_ok(config, pre, return_XTX, return_XTY, n_l)
+        and return_XTX and return_XTY and pre.M is not None
+    )
+    if share:
+        planes = dataset_planes(config, pre, with_y=True, n_slices=10)
+        prod = contract_from_planes(planes)
+        k = pre.K
+        m = pre.M
+        state = dataclasses.replace(
+            pre, XTX=prod[:k, :k], XTY=prod[:k, k:k + m],
+        )
+        n = n_chunks * bs
+        src = prepare_ozaki_sources(
+            config, state, idx[:n], None,
+            return_XTX=return_XTX, return_XTY=return_XTY, planes=planes,
+        )
+        return _v3_sweep_loop(config, src, bs, n_chunks, return_XTY)
+
+    state = fit(config, X, Y, w, validate=False)
+    return _materialize_sweep_impl(
+        config, bs, n_chunks, return_XTX, return_XTY, impl, use_packed,
+        state, idx, mask,
+    )
+
+
+_materialize_cv_jit = jax.jit(
+    _materialize_cv_impl, static_argnums=(0, 1, 2, 3, 4, 5, 6)
 )
 
 

@@ -9,6 +9,7 @@ from cvmatrix_tpu.models.sweep import (
     cross_validate,
     cross_validate_dict,
     cross_validate_reduce,
+    materialize_cv,
     materialize_sweep,
 )
 
@@ -120,3 +121,45 @@ def test_sweep_xtx_only():
     for k, (xtx, stats) in d.items():
         rx, _ = ref.training_XTX(p.get_validation_indices(k))
         assert_allclose(np.asarray(xtx), np.asarray(rx), atol=1e-10)
+
+
+def test_materialize_cv_matches_fit_plus_sweep():
+    """Fused fit+sweep probe equals the separate fit -> materialize_sweep."""
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    st = fit(cfg, X_ALL, Y_ALL, WEIGHTS)
+    n = X_ALL.shape[0]
+    P = 10
+    idx = np.stack([np.where(np.arange(n) % P == f)[0] for f in range(P)])
+    p1 = float(materialize_sweep(cfg, st, idx))
+    p2 = float(materialize_cv(cfg, X_ALL, Y_ALL, WEIGHTS, idx))
+    assert abs(p1 - p2) <= 1e-9 * max(1.0, abs(p1))
+
+
+def test_contract_from_planes_matches_fit_products():
+    """Shared-plane fit products are f64-grade vs the standard fit."""
+    from cvmatrix_tpu.core.batch import contract_from_planes, dataset_planes
+
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    st = fit(cfg, X_ALL, Y_ALL, WEIGHTS)
+    planes = dataset_planes(cfg, st, with_y=True, n_slices=10)
+    prod = np.asarray(contract_from_planes(planes))
+    k, m = st.K, st.M
+    ref = np.concatenate([np.asarray(st.XTX), np.asarray(st.XTY)], axis=1)
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(prod[:k, :k + m] - ref)) / scale < 1e-14
+
+
+def test_prepare_ozaki_sources_shared_planes_identical():
+    """prepare with externally-built (full 10-slice) planes is bit-identical."""
+    from cvmatrix_tpu.core import batch as B
+
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    st = fit(cfg, X_ALL, Y_ALL, WEIGHTS)
+    idx = np.arange(96).reshape(2, 48)
+    planes = B.dataset_planes(cfg, st, with_y=True, n_slices=10)
+    s1 = B.prepare_ozaki_sources(cfg, st, idx)
+    s2 = B.prepare_ozaki_sources(cfg, st, idx, planes=planes)
+    for name in ("saN", "sbN_rev", "pa", "pb", "gx", "sxv", "yvec",
+                 "ymask", "scal", "total2"):
+        a, b = np.asarray(getattr(s1, name)), np.asarray(getattr(s2, name))
+        np.testing.assert_array_equal(a, b, err_msg=name)
