@@ -1,0 +1,95 @@
+"""Mesh-of-one vs single-chip fold throughput on the real TPU.
+
+VERDICT follow-up: the mesh fold path must not cost throughput when the
+mesh is trivial. Runs the same fold sweep twice on ONE real chip —
+
+  1. single-chip: ``materialize_sweep`` (the benchmark primitive;
+     kernel-routed fold math, single completion barrier), and
+  2. mesh(1): ``sharded_cross_validate_reduce`` over a 1-device
+     ``jax.sharding.Mesh`` (mask-and-psum gather + shard-local kernel
+     fold math + on-device reduction),
+
+and reports folds/s for both plus the ratio. Together with
+``benchmarks/mesh_scaling.py`` (virtual-CPU-mesh scaling proxy) this
+bounds the mesh overhead at both ends without multi-chip hardware.
+
+Writes benchmarks/mesh_one_chip.json. P values via BENCH_PS
+(default "1000,10000" — the MXU-product and packed-kernel fold bands).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+
+    from cvmatrix_tpu import CVConfig, fit
+    from cvmatrix_tpu.models.sweep import materialize_sweep
+    from cvmatrix_tpu.parallel.distributed import (
+        make_mesh,
+        sharded_cross_validate_reduce,
+    )
+
+    N = int(os.environ.get("BENCH_N", 100_000))
+    K = int(os.environ.get("BENCH_K", 500))
+    M = int(os.environ.get("BENCH_M", 10))
+    Ps = [int(x) for x in os.environ.get("BENCH_PS", "1000,10000").split(",")]
+
+    rng = np.random.default_rng(42)
+    X = rng.random((N, K))
+    Y = rng.random((N, M))
+    w = rng.random(N)
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    state = fit(cfg, X, Y, w, validate=False)
+    mesh = make_mesh(jax.devices()[:1])
+
+    def probe_reduce(mats, stats):
+        xtx, xty = mats
+        return xtx.reshape(-1)[0] + xty.reshape(-1)[0]
+
+    rows = []
+    for P in Ps:
+        idx = np.stack([np.where(np.arange(N) % P == f)[0] for f in range(P)])
+
+        def single():
+            return float(materialize_sweep(cfg, state, idx))
+
+        def mesh1():
+            out = sharded_cross_validate_reduce(
+                cfg, state, idx, mesh=mesh, reduce_fn=probe_reduce,
+            )
+            return float(out[0])
+
+        single(); mesh1()  # compile + warm both programs
+        t0 = time.perf_counter(); single(); t_single = time.perf_counter() - t0
+        t0 = time.perf_counter(); mesh1(); t_mesh = time.perf_counter() - t0
+        row = {
+            "P": P,
+            "single_chip_s": round(t_single, 4),
+            "mesh1_s": round(t_mesh, 4),
+            "single_folds_per_sec": round(P / t_single, 1),
+            "mesh1_folds_per_sec": round(P / t_mesh, 1),
+            "mesh1_over_single": round(t_mesh / t_single, 3),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "mesh_one_chip.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,10 +58,14 @@ def worker(n_dev: int) -> None:
                      rng.random(N))
     idx = np.arange(P)[:, None] % N
 
+    def trace_reduce(mats, stats):
+        # A stable function object: the sharded program cache is keyed on
+        # reduce_fn identity, so a fresh lambda per call would recompile.
+        return jnp.trace(mats[0])
+
     def run():
         red = sharded_cross_validate_reduce(
-            cfg, st, idx, mesh=mesh,
-            reduce_fn=lambda mats, stats: jnp.trace(mats[0]),
+            cfg, st, idx, mesh=mesh, reduce_fn=trace_reduce,
             batch_size=128, impl="xla",
         )
         return float(jnp.sum(red))  # host fetch = completion barrier

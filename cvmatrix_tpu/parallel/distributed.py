@@ -19,7 +19,7 @@ movement differs.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -187,18 +187,22 @@ def _local_gather(arrs, idx, shard_rows):
     return {k: grab(a) for k, a in arrs.items()}
 
 
-def _blocks_from_gathered(config, state, gathered, mask_batch, return_XTY):
-    """Reproduce gather_val_blocks' aliasing/masking rules on batched blocks."""
+def _blocks_from_gathered(config, weighted, gathered, mask_batch, return_XTY):
+    """Reproduce gather_val_blocks' aliasing/masking rules on batched blocks.
+
+    ``weighted``: whether the fitted state carries weights (a static bool so
+    cached program builders need no state object).
+    """
     gWX = gathered["WX"]
     gX = gathered.get("X")
     gY = gathered.get("Y")
     gWY = gathered.get("WY")
     gw = gathered.get("w")
 
-    Xv_u = gWX if state.weights is None else gX
+    Xv_u = gWX if not weighted else gX
     Xv_w = gWX if mask_batch is None else gWX * mask_batch[..., None]
     if return_XTY:
-        if state.weights is None or not config.needs_WY:
+        if not weighted or not config.needs_WY:
             Yv_raw = gY
             Yv_u = Yv_raw
         else:
@@ -230,16 +234,25 @@ def _gather_blocks_sharded(
     n_shards = mesh.shape[ROWS]
     shard_rows = state.X.shape[0] // n_shards
     sources = _gather_sources(config, state, return_XTY)
-    names = list(sources.keys())
 
-    gathered = jax.shard_map(
+    gathered = _gather_program(mesh, tuple(sources.keys()), shard_rows)(
+        sources, idx_batch
+    )
+    return _blocks_from_gathered(config, state.weights is not None,
+                                 gathered, mask_batch, return_XTY)
+
+
+@lru_cache(maxsize=64)
+def _gather_program(mesh: Mesh, names: tuple, shard_rows: int):
+    """Cached jitted mask-and-psum gather (fresh per-call wrappers recompile
+    the whole program every invocation — module-level caching is mandatory
+    for warm sweeps)."""
+    return jax.jit(jax.shard_map(
         lambda arrs, idx: _local_gather(arrs, idx, shard_rows),
         mesh=mesh,
         in_specs=({k: P(ROWS, None) for k in names}, P()),
         out_specs={k: P() for k in names},
-    )(sources, idx_batch)
-    return _blocks_from_gathered(config, state, gathered, mask_batch,
-                                 return_XTY)
+    ))
 
 
 def _resolve_mesh_impl(config: CVConfig, impl: str) -> str:
@@ -349,6 +362,20 @@ def sharded_training_matrices(
     blocks = jax.device_put(
         blocks, jax.tree.map(lambda _: NamedSharding(mesh, P(ROWS)), blocks)
     )
+    out = _fold_math_program(
+        config, mesh, impl_r, return_XTX, return_XTY, interpret, fold_sharded
+    )(globals_only, blocks)
+    if not trim_padding:
+        return out, n_folds
+    if pad_f:
+        out = jax.tree.map(lambda a: a[:n_folds], out)
+    return out
+
+
+@lru_cache(maxsize=64)
+def _fold_math_program(config, mesh, impl_r, return_XTX, return_XTY,
+                       interpret, fold_sharded):
+    """Cached jitted fold-math phase of :func:`sharded_training_matrices`."""
     if impl_r == "pallas":
         # Pallas calls have no GSPMD partitioning rule — run the fold phase
         # shard-locally under shard_map (no collectives inside; the gather
@@ -362,7 +389,7 @@ def sharded_training_matrices(
                 impl="pallas", interpret=interpret,
             )
 
-        out = jax.jit(
+        return jax.jit(
             jax.shard_map(
                 fold_math, mesh=mesh,
                 in_specs=(P(), P(ROWS)), out_specs=P(ROWS),
@@ -370,22 +397,15 @@ def sharded_training_matrices(
                 # collective-free so the vma check adds nothing here.
                 check_vma=False,
             )
-        )(globals_only, blocks)
-    else:
-        def fold_fn(st, blks):
-            return training_matrices_from_blocks(
-                config, st, blks, return_XTX=return_XTX, return_XTY=return_XTY
-            )
-
-        batched = jax.vmap(fold_fn, in_axes=(None, 0))
-        out = jax.jit(batched, out_shardings=fold_sharded)(
-            globals_only, blocks
         )
-    if not trim_padding:
-        return out, n_folds
-    if pad_f:
-        out = jax.tree.map(lambda a: a[:n_folds], out)
-    return out
+
+    def fold_fn(st, blks):
+        return training_matrices_from_blocks(
+            config, st, blks, return_XTX=return_XTX, return_XTY=return_XTY
+        )
+
+    return jax.jit(jax.vmap(fold_fn, in_axes=(None, 0)),
+                   out_shardings=fold_sharded)
 
 
 def sharded_cross_validate_reduce(
@@ -438,16 +458,34 @@ def sharded_cross_validate_reduce(
     shard_rows = state.X.shape[0] // n_dev
     bs_local = bs // n_dev
     sources = _gather_sources(config, state, return_XTY)
-    names = list(sources.keys())
     globals_only = _globals_only(config, state)
     impl_r = _resolve_mesh_impl(config, impl)
+
+    red = _reduce_program(
+        config, mesh, tuple(sources.keys()), state.weights is not None,
+        impl_r, return_XTX, return_XTY, interpret, shard_rows, bs_local,
+        reduce_fn,
+    )(sources, globals_only, idx_c, mask_c)
+    red = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:n_folds], red)
+    return red
+
+
+@lru_cache(maxsize=64)
+def _reduce_program(config, mesh, names, weighted, impl_r, return_XTX,
+                    return_XTY, interpret, shard_rows, bs_local, reduce_fn):
+    """Cached jitted program for :func:`sharded_cross_validate_reduce`.
+
+    Keyed on everything the trace depends on (``reduce_fn`` by identity —
+    pass a stable function object, not a fresh lambda per call, to hit the
+    cache).
+    """
     from ..core.batch import batched_matrices_from_blocks
 
     def body(srcs, st, ic, mc):
         def step(carry, chunk):
             ci, cm = chunk
             gathered = _local_gather(srcs, ci, shard_rows)
-            blocks = _blocks_from_gathered(config, state, gathered, cm,
+            blocks = _blocks_from_gathered(config, weighted, gathered, cm,
                                            return_XTY)
             r0 = jax.lax.axis_index(ROWS) * bs_local
             my = jax.tree.map(
@@ -472,7 +510,7 @@ def sharded_cross_validate_reduce(
         _, red = jax.lax.scan(step, None, (ic, mc))
         return red  # (n_chunks, bs_local, ...)
 
-    red = jax.jit(
+    return jax.jit(
         jax.shard_map(
             body, mesh=mesh,
             in_specs=({k: P(ROWS, None) for k in names}, P(), P(), P()),
@@ -480,6 +518,4 @@ def sharded_cross_validate_reduce(
             # Pallas calls carry no varying-mesh-axes info (see above).
             check_vma=False,
         )
-    )(sources, globals_only, idx_c, mask_c)
-    red = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:n_folds], red)
-    return red
+    )

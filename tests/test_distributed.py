@@ -207,3 +207,34 @@ def test_sharded_reduce(mesh, impl, interp, tol):
         (xtx, xty), _ = ref.training_XTX_XTY(np.array([i]))
         want = float(np.trace(np.asarray(xtx)) + np.sum(np.asarray(xty)))
         assert abs(float(red[i]) - want) < tol * max(1.0, abs(want))
+
+
+def test_sharded_programs_are_cached(mesh):
+    """Repeat sharded calls reuse the compiled programs (no per-call jit).
+
+    A fresh ``jax.jit`` wrapper per invocation recompiles the whole mesh
+    program every call (measured 130x slowdown on the warm path before the
+    ``lru_cache`` builders landed); this pins the cache behaviour.
+    """
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.parallel import distributed as D
+
+    cfg = CVConfig(True, False, True, False, 1)
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, WEIGHTS)
+    idx = np.arange(12)[:, None]
+
+    def reduce_fn(mats, stats):
+        return jnp.trace(mats[0])
+
+    h0 = D._reduce_program.cache_info().hits
+    g0 = D._gather_program.cache_info().hits
+    f0 = D._fold_math_program.cache_info().hits
+    for _ in range(2):
+        red = sharded_cross_validate_reduce(
+            cfg, st, idx, mesh=mesh, reduce_fn=reduce_fn, impl="xla")
+        out = sharded_training_matrices(cfg, st, idx, mesh=mesh, impl="xla")
+    assert D._reduce_program.cache_info().hits > h0
+    assert D._gather_program.cache_info().hits > g0
+    assert D._fold_math_program.cache_info().hits > f0
+    assert red.shape == (12,)
