@@ -25,7 +25,7 @@ from .core import (
 )
 from .models import CVMatrix, Partitioner
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "CVMatrix",
