@@ -13,6 +13,7 @@ feature: one call computes every fold's training matrices with
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict, Hashable, Iterator, Optional, Tuple
 
 import jax
@@ -72,24 +73,8 @@ def cross_validate(
     m = state.M or 0
     itemsize = np.dtype(config.dtype).itemsize
 
-    fold_fn = jax.jit(
-        jax.vmap(
-            lambda st, v, mk: training_matrices(
-                config, st, v, mk,
-                return_XTX=return_XTX, return_XTY=return_XTY,
-            ),
-            in_axes=(None, 0, 0),
-        ),
-    )
-    fold_fn_nomask = jax.jit(
-        jax.vmap(
-            lambda st, v: training_matrices(
-                config, st, v,
-                return_XTX=return_XTX, return_XTY=return_XTY,
-            ),
-            in_axes=(None, 0),
-        ),
-    )
+    fold_fn = _cv_fold_fn(config, return_XTX, return_XTY, True)
+    fold_fn_nomask = _cv_fold_fn(config, return_XTX, return_XTY, False)
 
     if use_padding:
         keys, idx, mask = partitioner.padded_batches()
@@ -111,6 +96,31 @@ def cross_validate(
             else:
                 out = fold_fn(state, chunk_idx, mask_d[s : s + bs])
             yield keys[s : s + bs], out
+
+
+@lru_cache(maxsize=128)
+def _cv_fold_fn(config, return_XTX, return_XTY, with_mask):
+    """Cached jitted vmapped fold program for :func:`cross_validate`
+    (a fresh per-call ``jax.jit`` wrapper would recompile on every sweep)."""
+    if with_mask:
+        return jax.jit(
+            jax.vmap(
+                lambda st, v, mk: training_matrices(
+                    config, st, v, mk,
+                    return_XTX=return_XTX, return_XTY=return_XTY,
+                ),
+                in_axes=(None, 0, 0),
+            ),
+        )
+    return jax.jit(
+        jax.vmap(
+            lambda st, v: training_matrices(
+                config, st, v,
+                return_XTX=return_XTX, return_XTY=return_XTY,
+            ),
+            in_axes=(None, 0),
+        ),
+    )
 
 
 def cross_validate_reduce(

@@ -144,14 +144,19 @@ def fit_sharded(
     shape_state = jax.eval_shape(
         partial(_fit, config, validate=False), Xd, Yd, wd
     )
-    fitted = jax.jit(
-        partial(_fit, config, validate=False),
-        out_shardings=spec(shape_state),
-    )(Xd, Yd, wd)
+    fitted = _sharded_fit_program(config, spec(shape_state))(Xd, Yd, wd)
     # Weight validation is data-dependent; do it host-side (eagerly) here.
     if weights is not None and bool(jnp.any(fitted.weights < 0)):
         raise ValueError("Weights must be non-negative.")
     return fitted
+
+
+@lru_cache(maxsize=32)
+def _sharded_fit_program(config, out_spec):
+    """Cached jitted sharded fit (the out_shardings FitState is frozen and
+    hashable; a fresh per-call wrapper would recompile every refit)."""
+    return jax.jit(partial(_fit, config, validate=False),
+                   out_shardings=out_spec)
 
 
 def _gather_sources(config: CVConfig, state: FitState, return_XTY: bool):

@@ -199,8 +199,8 @@ def fit_sharded_multihost(
             num_nonzero_w=mark(state.num_nonzero_w, rep),
         )
 
+    from .distributed import _sharded_fit_program
+
     shape_state = jax.eval_shape(partial(_fit, config, validate=False),
                                  Xg, Yg, wg)
-    return jax.jit(
-        partial(_fit, config, validate=False), out_shardings=spec(shape_state)
-    )(Xg, Yg, wg)
+    return _sharded_fit_program(config, spec(shape_state))(Xg, Yg, wg)

@@ -24,6 +24,11 @@ def trace(logdir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+@jax.jit
+def _probe_acc(a, acc):
+    return a.reshape(-1)[0].astype(jnp.float32) + acc
+
+
 def device_fence(tree) -> float:
     """Honest completion barrier: fetch a scalar that depends on ``tree``.
 
@@ -34,8 +39,7 @@ def device_fence(tree) -> float:
     leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "ndim")]
     s = jnp.zeros((), jnp.float32)
     for x in leaves:
-        s = s + jax.jit(lambda a, acc: a.reshape(-1)[0].astype(jnp.float32)
-                        + acc)(x, s)
+        s = _probe_acc(x, s)
     return float(s)
 
 
