@@ -163,3 +163,23 @@ def test_prepare_ozaki_sources_shared_planes_identical():
                  "ymask", "scal", "total2"):
         a, b = np.asarray(getattr(s1, name)), np.asarray(getattr(s2, name))
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+@pytest.mark.parametrize(
+    "weighted,dtype,xtx_only",
+    [(False, np.float64, False), (True, np.float32, False),
+     (True, np.float64, True)],
+)
+def test_materialize_cv_variants(weighted, dtype, xtx_only):
+    """Fused driver parity off the shared-planes path (unweighted / f32 /
+    XTX-only all take the fallback fit-in-program route on CPU)."""
+    cfg = CVConfig(True, True, False, True, ddof=0, dtype=dtype)
+    w = WEIGHTS if weighted else None
+    st = fit(cfg, X_ALL, Y_ALL, w)
+    n = X_ALL.shape[0]
+    idx = np.stack([np.where(np.arange(n) % 8 == f)[0] for f in range(8)])
+    kw = dict(return_XTX=True, return_XTY=not xtx_only)
+    p1 = float(materialize_sweep(cfg, st, idx, **kw))
+    p2 = float(materialize_cv(cfg, X_ALL, Y_ALL, w, idx, **kw))
+    tol = 1e-9 if dtype == np.float64 else 1e-4
+    assert abs(p1 - p2) <= tol * max(1.0, abs(p1))
