@@ -33,7 +33,7 @@ def main():
 
     jax.config.update("jax_enable_x64", True)
 
-    from cvmatrix_tpu import CVConfig, fit
+    from cvmatrix_tpu import CVConfig, Partitioner, fit
     from cvmatrix_tpu.models.sweep import materialize_sweep
     from cvmatrix_tpu.parallel.distributed import (
         make_mesh,
@@ -59,7 +59,8 @@ def main():
 
     rows = []
     for P in Ps:
-        idx = np.stack([np.where(np.arange(N) % P == f)[0] for f in range(P)])
+        part = Partitioner(np.arange(N) % P)
+        idx = np.stack(list(part.folds_dict.values()))
 
         def single():
             return float(materialize_sweep(cfg, state, idx))
