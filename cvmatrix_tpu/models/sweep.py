@@ -590,7 +590,23 @@ def _materialize_cv_impl(
         )
         return _v3_sweep_loop(config, src, bs, n_chunks, return_XTY)
 
-    state = fit(config, X, Y, w, validate=False)
+    # Fallback: the standard fit contraction, grafted onto the already-built
+    # data/statistics fields (re-running fit() here would duplicate the
+    # whole stats subgraph and lean on XLA CSE to clean it up).
+    from ..ops.precise import contract
+
+    if pre.Y is not None:
+        prod = contract(pre.WX, jnp.concatenate([pre.X, pre.Y], axis=1),
+                        mode=config.matmul_mode, symmetric_k=pre.K)
+        state = dataclasses.replace(
+            pre, XTX=prod[:, : pre.K], XTY=prod[:, pre.K:],
+        )
+    else:
+        state = dataclasses.replace(
+            pre,
+            XTX=contract(pre.WX, pre.X, mode=config.matmul_mode,
+                         symmetric_k=pre.K),
+        )
     return _materialize_sweep_impl(
         config, bs, n_chunks, return_XTX, return_XTY, impl, use_packed,
         state, idx, mask,
