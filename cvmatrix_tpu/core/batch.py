@@ -47,6 +47,8 @@ __all__ = [
     "dataset_planes",
     "gather_ozaki_rows",
     "loocv_single_tile_ok",
+    "loocv_sym_from_sources",
+    "loocv_sym_tile",
     "loocv_f32_from_sources",
     "ozaki_v3_from_sources",
     "ozaki_v3_ok",
@@ -545,6 +547,37 @@ def loocv_from_sources(config: CVConfig, src: LoocvSources,
         scale_y=config.scale_Y,
         with_y=return_XTY,
         resolution=config.resolution,
+        interpret=interpret,
+    )
+
+
+def loocv_sym_tile(kp: int):
+    """Tile size for the symmetric-mirror LOOCV kernel, or None.
+
+    Mirroring pays only with >= 2 tiles per side; 256-tiles keep the grid
+    short (per-step overhead) and are preferred when they divide ``kp``.
+    """
+    if kp >= 512 and kp % 256 == 0:
+        return 256
+    if kp >= 512 and kp % 128 == 0:
+        return 128
+    return None
+
+
+def loocv_sym_from_sources(config: CVConfig, src: LoocvSources,
+                           rows, scal_slice=None, *, return_XTY: bool,
+                           bt: int = 256, interpret: bool = False):
+    """Run the symmetric-mirror LOOCV kernel on prepared sources."""
+    return kernels.fused_loocv_df64_sym(
+        rows, src.total4, src.xw, src.xu, src.yu, src.yw, src.gx, src.gy,
+        src.ymask, src.scal if scal_slice is None else scal_slice,
+        center_xtx=config.center_X,
+        center_xty=config.center_X or config.center_Y,
+        scale_x=config.scale_X,
+        scale_y=config.scale_Y,
+        with_y=return_XTY,
+        resolution=config.resolution,
+        bt=bt,
         interpret=interpret,
     )
 

@@ -13,6 +13,7 @@ feature: one call computes every fold's training matrices with
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from typing import Dict, Hashable, Iterator, Optional, Tuple
 
@@ -27,6 +28,9 @@ from .partitioner import Partitioner
 
 __all__ = ["cross_validate", "cross_validate_reduce", "materialize_cv",
            "materialize_sweep"]
+
+# A/B knob for the symmetric-mirror LOOCV kernel (read once at import).
+_SYM_LOOCV = os.environ.get("CVMATRIX_TPU_SYM_LOOCV", "1") != "0"
 
 
 def _auto_batch(n_folds: int, k: int, m: int, itemsize: int,
@@ -310,6 +314,8 @@ def _materialize_sweep_impl(
         loocv_f32_from_sources,
         loocv_from_sources,
         loocv_single_tile_ok,
+        loocv_sym_from_sources,
+        loocv_sym_tile,
         prepare_fold_operands,
         prepare_loocv_sources,
         slice_operands,
@@ -335,10 +341,19 @@ def _materialize_sweep_impl(
             presplit=None if is_f64 else False,
         )
         rows = idx[:n, 0].astype(jnp.int32)
+        # Symmetric-mirror variant: the XTX block is symmetric per fold, so
+        # strictly-lower output tiles are in-VMEM transposes instead of
+        # recomputed epilogue — the flop cut on the VPU-bound all-flags
+        # path. CVMATRIX_TPU_SYM_LOOCV=0 forces the full kernel (A/B knob).
+        bt_sym = loocv_sym_tile(src.kp) if (is_f64 and _SYM_LOOCV) else None
 
         def body(c, carry):
             ci = jax.lax.dynamic_slice_in_dim(rows, c * bs, bs, 0)
             sc = jax.lax.dynamic_slice_in_dim(src.scal, c * bs, bs, 0)
+            if bt_sym is not None:
+                return loocv_sym_from_sources(
+                    config, src, ci, sc, return_XTY=return_XTY, bt=bt_sym,
+                )
             if is_f64:
                 return loocv_from_sources(
                     config, src, ci, sc, return_XTY=return_XTY,

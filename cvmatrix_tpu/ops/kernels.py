@@ -50,6 +50,7 @@ __all__ = [
     "fused_downdate_f32_packed",
     "fused_epilogue_df64",
     "fused_loocv_df64",
+    "fused_loocv_df64_sym",
     "fused_loocv_f32",
     "fused_ozaki_downdate_df64",
     "fused_ozaki_downdate_v3",
@@ -707,18 +708,17 @@ def _df64_side_stats_from_sums(sum_rows, sq_rows, g, sw, rsw, rdv,
     return m, r
 
 
-def _loocv_fold_math(total, xw_h, xw_l, xu_h, xu_l, yu_h, yu_l, yw_h, yw_l,
-                     gx, gy, ymask, scal_row, *, center_xtx: bool,
-                     center_xty: bool, scale_x: bool, scale_y: bool,
-                     with_y: bool, presplit_total: bool, resolution: float):
-    """One LOOCV fold's full math on plain (1, Kp) f32 arrays.
+def _loocv_vectors(xw_h, xw_l, xu_h, xu_l, yu_h, yu_l, yw_h, yw_l,
+                   gx, gy, ymask, scal_row, *, center_xtx: bool,
+                   center_xty: bool, scale_x: bool, scale_y: bool,
+                   with_y: bool, resolution: float):
+    """The vector phase of one LOOCV fold: stats + factor-form operands.
 
-    Shared between the Pallas kernel (ref loads around it) and the eager
-    reference implementation used by the CPU tests — Pallas interpret mode
-    executes f32 chains with FMA/excess precision on CPU (measured: ``a*b+c``
-    matches the f64-fused result), which silently breaks double-float
-    compensation; eager per-op execution is faithfully rounded, and the real
-    TPU VPU has no FMA at all (probed), so hardware matches this math.
+    Returns ``(u, v, pq, i12)``: the downdate factor pairs ``u`` (K side)
+    and ``v`` (concatenated [X | Y] side) as ``(hi, lo)`` tuples of
+    (1, Kp)/(1, Cp) arrays, and the centering/scaling vector 4-tuples
+    ``(p_h, p_l, q_h, q_l)`` / ``(i1_h, i1_l, i2_h, i2_l)`` (or None when
+    the flags are off). The tile phase consumes (slices of) these.
     """
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
@@ -769,8 +769,7 @@ def _loocv_fold_math(total, xw_h, xw_l, xu_h, xu_l, yu_h, yu_l, yw_h, yw_l,
             q = df_add(*qx, *qy)
         else:
             q = qx
-        pq = (p[0][0][:, None], p[1][0][:, None],
-              q[0][0][None, :], q[1][0][None, :])
+        pq = (p[0], p[1], q[0], q[1])
 
     i12 = None
     if scale:
@@ -778,8 +777,39 @@ def _loocv_fold_math(total, xw_h, xw_l, xu_h, xu_l, yu_h, yu_l, yw_h, yw_l,
         ri2y = r2 if (with_y and scale_y) else i1
         i2 = (jnp.where(ymask > 0, ri2y[0], i1[0]),
               jnp.where(ymask > 0, ri2y[1], i1[1]))
-        i12 = (i1[0][0][:, None], i1[1][0][:, None],
-               i2[0][0][None, :], i2[1][0][None, :])
+        i12 = (i1[0], i1[1], i2[0], i2[1])
+
+    return u, v, pq, i12
+
+
+def _loocv_fold_math(total, xw_h, xw_l, xu_h, xu_l, yu_h, yu_l, yw_h, yw_l,
+                     gx, gy, ymask, scal_row, *, center_xtx: bool,
+                     center_xty: bool, scale_x: bool, scale_y: bool,
+                     with_y: bool, presplit_total: bool, resolution: float):
+    """One LOOCV fold's full math on plain (1, Kp) f32 arrays.
+
+    Shared between the Pallas kernel (ref loads around it) and the eager
+    reference implementation used by the CPU tests — Pallas interpret mode
+    executes f32 chains with FMA/excess precision on CPU (measured: ``a*b+c``
+    matches the f64-fused result), which silently breaks double-float
+    compensation; eager per-op execution is faithfully rounded, and the real
+    TPU VPU has no FMA at all (probed), so hardware matches this math.
+    """
+    u, v, pq_vec, i12_vec = _loocv_vectors(
+        xw_h, xw_l, xu_h, xu_l, yu_h, yu_l, yw_h, yw_l,
+        gx, gy, ymask, scal_row,
+        center_xtx=center_xtx, center_xty=center_xty,
+        scale_x=scale_x, scale_y=scale_y, with_y=with_y,
+        resolution=resolution,
+    )
+    pq = None if pq_vec is None else (
+        pq_vec[0][0][:, None], pq_vec[1][0][:, None],
+        pq_vec[2][0][None, :], pq_vec[3][0][None, :],
+    )
+    i12 = None if i12_vec is None else (
+        i12_vec[0][0][:, None], i12_vec[1][0][:, None],
+        i12_vec[2][0][None, :], i12_vec[3][0][None, :],
+    )
 
     uhh, uhl = split(u[0][0][:, None])
     vhh, vhl = split(v[0][0][None, :])
@@ -924,6 +954,251 @@ def fused_loocv_df64(
         ),
         interpret=interpret,
     )(idx, total4, xw, xu, yu, yw, gx, gy, ymask, scal)
+
+
+# --------------------------------------------------------------------------- #
+# Symmetric-mirror LOOCV kernel: compute upper tiles, transpose the mirrors   #
+# --------------------------------------------------------------------------- #
+# Every fold's XTX block is symmetric (ref ``cvmatrix/cvmatrix.py:1001-1009``
+# with mat2 = the unweighted twin of the gathered row), so the strictly-
+# lower output tiles equal the transposes of their upper partners up to the
+# factor-form rounding asymmetry (~2^-46 relative — the reference's own
+# output carries the same-order asymmetry from its operand ordering). The
+# TTTT epilogue is VPU-issue-bound at ~80 flops/element; mirroring the
+# strict-lower tiles replaces that arithmetic with one in-VMEM transpose.
+
+_SYM_TILE = 256
+
+
+def _sym_tile_order(n_t: int):
+    """Tile (i, j) sequence with each strictly-upper tile immediately
+    followed by its mirror — the mirror step reads the stash written one
+    grid step earlier (TPU grids execute sequentially)."""
+    order = []
+    for i in range(n_t):
+        order.append((i, i))
+        for j in range(i + 1, n_t):
+            order.append((i, j))
+            order.append((j, i))
+    return order
+
+
+def _df64_loocv_sym_kernel(idx_ref, ti_ref, tj_ref, total_ref, xw_ref,
+                           xu_ref, yu_ref, yw_ref, gx_ref, gy_ref, ymask_ref,
+                           scal_ref, out_ref, vec_ref, stash_ref, *, bt: int,
+                           n_planes: int, with_y: bool, center_xtx: bool,
+                           center_xty: bool, scale_x: bool, scale_y: bool,
+                           resolution: float):
+    t = pl.program_id(1)
+    center = center_xtx or (with_y and center_xty)
+    scale = scale_x or (with_y and scale_y)
+
+    @pl.when(t == 0)
+    def _():
+        # Vector phase, once per fold: full-width factor-form operands into
+        # the vec scratch (rows: u, v, p, q, i1, i2 as hi/lo pairs).
+        if with_y:
+            yu_h, yu_l = yu_ref[0, 0:1, :], yu_ref[0, 1:2, :]
+            yw_h, yw_l = yw_ref[0, 0:1, :], yw_ref[0, 1:2, :]
+        else:
+            yu_h = yu_l = yw_h = yw_l = None
+        u, v, pq, i12 = _loocv_vectors(
+            xw_ref[0, 0:1, :], xw_ref[0, 1:2, :],
+            xu_ref[0, 0:1, :], xu_ref[0, 1:2, :],
+            yu_h, yu_l, yw_h, yw_l,
+            gx_ref[:], gy_ref[:], ymask_ref[0:1, :], scal_ref[0, 0],
+            center_xtx=center_xtx, center_xty=center_xty,
+            scale_x=scale_x, scale_y=scale_y, with_y=with_y,
+            resolution=resolution,
+        )
+        vec_ref[0:1, :] = u[0]
+        vec_ref[1:2, :] = u[1]
+        vec_ref[2:3, :] = v[0]
+        vec_ref[3:4, :] = v[1]
+        if center:
+            vec_ref[4:5, :] = pq[0]
+            vec_ref[5:6, :] = pq[1]
+            vec_ref[6:7, :] = pq[2]
+            vec_ref[7:8, :] = pq[3]
+        if scale:
+            vec_ref[8:9, :] = i12[0]
+            vec_ref[9:10, :] = i12[1]
+            vec_ref[10:11, :] = i12[2]
+            vec_ref[11:12, :] = i12[3]
+
+    ti = ti_ref[t]
+    tj = tj_ref[t]
+
+    @pl.when(ti <= tj)
+    def _():
+        r0 = ti * bt
+        c0 = tj * bt
+
+        def col(row):
+            return vec_ref[row, pl.ds(r0, bt)][:, None]
+
+        def rowv(row):
+            return vec_ref[row, pl.ds(c0, bt)][None, :]
+
+        uh, ul = col(0), col(1)
+        vh, vl = rowv(2), rowv(3)
+        uhh, uhl = split(uh)
+        vhh, vhl = split(vh)
+        d_h, d_l = df_mul_presplit(uh, ul, uhh, uhl, vh, vl, vhh, vhl)
+        pq = (col(4), col(5), rowv(6), rowv(7)) if center else None
+        i12 = (col(8), col(9), rowv(10), rowv(11)) if scale else None
+        tt = [total_ref[p, pl.ds(r0, bt), pl.ds(c0, bt)]
+              for p in range(n_planes)]
+        oh, ol = _df64_tile_epilogue(tt, d_h, d_l, pq, i12,
+                                     presplit_total=(n_planes == 4))
+        out_ref[0, 0] = oh
+        out_ref[0, 1] = ol
+        stash_ref[0] = oh
+        stash_ref[1] = ol
+
+    @pl.when(ti > tj)
+    def _():
+        out_ref[0, 0] = jnp.transpose(stash_ref[0])
+        out_ref[0, 1] = jnp.transpose(stash_ref[1])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("center_xtx", "center_xty", "scale_x", "scale_y",
+                     "with_y", "resolution", "interpret", "bt"),
+)
+def fused_loocv_df64_sym(
+    idx: jax.Array,     # (F,) int32 validation row index per fold
+    total4: jax.Array,  # (4 or 2, KP, CP) total pair planes, KP == CP
+    xw: jax.Array,      # (N, 2, KP)
+    xu: jax.Array,      # (N, 2, KP)
+    yu: jax.Array,      # (N, 2, CP) shifted to columns [K, K+M)
+    yw: jax.Array,      # (N, 2, CP)
+    gx: jax.Array,      # (4, KP)
+    gy: jax.Array,      # (4, CP)
+    ymask: jax.Array,   # (1, CP)
+    scal: jax.Array,    # (F, 1, 128)
+    *,
+    center_xtx: bool,
+    center_xty: bool,
+    scale_x: bool,
+    scale_y: bool,
+    with_y: bool,
+    resolution: float,
+    bt: int = _SYM_TILE,
+    interpret: bool = False,
+) -> jax.Array:
+    """Symmetry-exploiting sibling of :func:`fused_loocv_df64`.
+
+    Same operands, same (F, 2, KP, CP) output; the grid runs (fold, tile)
+    with strictly-lower tiles written as in-VMEM transposes of their upper
+    partners instead of recomputed — for KP = 2 tiles that removes 1/4 of
+    the VPU epilogue work on the flop-bound all-flags path. Mirrored
+    entries differ from direct computation by the ~2^-46 factor-form
+    rounding asymmetry (the output becomes exactly symmetric in the X
+    block, Y columns land in padding rows of the mirrors — see the module
+    comment above).
+
+    Requires KP == CP, KP a multiple of ``bt``, and at least 2 tiles per
+    side (use :func:`fused_loocv_df64` otherwise).
+    """
+    f_folds = idx.shape[0]
+    n_planes, kp, cp = total4.shape
+    if kp != cp or kp % bt or kp // bt < 2:
+        raise ValueError(
+            f"sym kernel needs KP == CP, KP % {bt} == 0, >= 2 tiles; "
+            f"got ({kp}, {cp})"
+        )
+    n_t = kp // bt
+    order = _sym_tile_order(n_t)
+    tis = jnp.asarray([i for i, _ in order], jnp.int32)
+    tjs = jnp.asarray([j for _, j in order], jnp.int32)
+
+    # f * 0: Python int literals trace as i64 under x64 (Mosaic can't
+    # legalize them in index maps).
+    row = lambda f, t, i_r, ti_r, tj_r: (i_r[f], f * 0, f * 0)  # noqa: E731
+    c3 = lambda f, t, i_r, ti_r, tj_r: (f * 0, f * 0, f * 0)  # noqa: E731
+    c2 = lambda f, t, i_r, ti_r, tj_r: (f * 0, f * 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(f_folds, len(order)),
+        in_specs=[
+            pl.BlockSpec((n_planes, kp, cp), c3),
+            pl.BlockSpec((1, 2, kp), row),
+            pl.BlockSpec((1, 2, kp), row),
+            pl.BlockSpec((1, 2, cp), row if with_y else c3),
+            pl.BlockSpec((1, 2, cp), row if with_y else c3),
+            pl.BlockSpec((4, kp), c2),
+            pl.BlockSpec((4, cp), c2),
+            pl.BlockSpec((1, cp), c2),
+            pl.BlockSpec((1, 1, 128),
+                         lambda f, t, i_r, ti_r, tj_r: (f, f * 0, f * 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, bt, bt),
+            lambda f, t, i_r, ti_r, tj_r: (f, f * 0, ti_r[t], tj_r[t]),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((12, kp), jnp.float32),
+            pltpu.VMEM((2, bt, bt), jnp.float32),
+        ],
+    )
+    scale = scale_x or (with_y and scale_y)
+    n_upper = n_t * (n_t + 1) // 2
+    return pl.pallas_call(
+        functools.partial(
+            _df64_loocv_sym_kernel, bt=bt, n_planes=n_planes,
+            center_xtx=center_xtx, center_xty=center_xty,
+            scale_x=scale_x, scale_y=scale_y, with_y=with_y,
+            resolution=resolution,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((f_folds, 2, kp, cp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(34 + (17 if (center_xtx or center_xty) else 0)
+                   + (32 if scale else 0)) * f_folds * bt * bt * n_upper,
+            bytes_accessed=(
+                f_folds * kp * cp * 8 + kp * cp * 4 * n_planes
+                + f_folds * (4 * kp + 2 * cp) * 4 * 2
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, tis, tjs, total4, xw, xu, yu, yw, gx, gy, ymask, scal)
+
+
+def fused_loocv_df64_sym_reference(
+    idx, total4, xw, xu, yu, yw, gx, gy, ymask, scal, *,
+    center_xtx, center_xty, scale_x, scale_y, with_y, resolution,
+    bt: int = _SYM_TILE,
+):
+    """Eager reference of :func:`fused_loocv_df64_sym` (no Pallas).
+
+    The computed tiles are bit-identical to :func:`fused_loocv_df64_reference`
+    (slicing commutes with every elementwise op in the chain); strictly-
+    lower tiles are transposes of their partners.
+    """
+    full = fused_loocv_df64_reference(
+        idx, total4, xw, xu, yu, yw, gx, gy, ymask, scal,
+        center_xtx=center_xtx, center_xty=center_xty,
+        scale_x=scale_x, scale_y=scale_y, with_y=with_y,
+        resolution=resolution,
+    )
+    kp = total4.shape[1]
+    n_t = kp // bt
+    out = np.array(full)
+    for i in range(n_t):
+        for j in range(i + 1, n_t):
+            out[:, :, j * bt:(j + 1) * bt, i * bt:(i + 1) * bt] = (
+                np.swapaxes(
+                    out[:, :, i * bt:(i + 1) * bt, j * bt:(j + 1) * bt],
+                    2, 3,
+                )
+            )
+    return jnp.asarray(out)
 
 
 # --------------------------------------------------------------------------- #

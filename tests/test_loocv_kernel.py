@@ -293,3 +293,75 @@ def test_ozaki_trim_groups_budget():
         assert 1.2 * (sp + 1) * lp * 2.0 ** (-t * sp) <= 2.0 ** -36
         assert sp <= 10
     assert KK.ozaki_trim_groups(10) <= KK.ozaki_trim_groups(384)
+
+
+# ---- symmetric-mirror kernel -------------------------------------------- #
+
+def _sym_setup(flags=(True, True, True, True)):
+    """K large enough for >= 2 tiles at bt=128 (kp = 384)."""
+    n, k, m = 300, 300, 5
+    rng2 = np.random.default_rng(5)
+    X = rng2.normal(size=(n, k)) * 2 + 0.5
+    Y = rng2.normal(size=(n, m))
+    w = rng2.uniform(0, 2, size=n)
+    cfg = CVConfig(*flags, ddof=1, dtype=np.float64)
+    st = fit(cfg, X, Y, w)
+    idx = np.array([0, 5, 77, 299])[:, None]
+    src = B.prepare_loocv_sources(cfg, st, idx, presplit=True)
+    args = (jnp.asarray(idx[:, 0], jnp.int32), src.total4, src.xw, src.xu,
+            src.yu, src.yw, src.gx, src.gy, src.ymask, src.scal)
+    kw = dict(center_xtx=cfg.center_X,
+              center_xty=cfg.center_X or cfg.center_Y,
+              scale_x=cfg.scale_X, scale_y=cfg.scale_Y,
+              with_y=True, resolution=cfg.resolution)
+    return cfg, st, idx, args, kw, k, m
+
+
+@pytest.mark.parametrize("flags", [
+    (True, True, True, True), (False, False, False, False),
+    (True, True, False, False), (False, False, True, True),
+])
+def test_sym_reference_matches_full_reference(flags):
+    """Sym eager twin == full eager twin up to the mirror asymmetry.
+
+    Computed (upper) tiles are bit-identical; mirrored tiles differ only
+    by the ~2^-46 factor-form rounding asymmetry of the X block.
+    """
+    cfg, st, idx, args, kw, k, m = _sym_setup(flags)
+    full = KK.fused_loocv_df64_reference(*args, **kw)
+    sym = KK.fused_loocv_df64_sym_reference(*args, **kw, bt=128)
+    # Compare the REAL [:K, :K+M] region: mirror tiles write transposed
+    # values into padding rows (>= K) where the full kernel writes zeros —
+    # every consumer slices [:k, :c] before use (core/batch.py:662-779).
+    vf = np.asarray(df_to_f64(full[:, 0], full[:, 1]))[:, :k, :k + m]
+    vs = np.asarray(df_to_f64(sym[:, 0], sym[:, 1]))[:, :k, :k + m]
+    scale = np.max(np.abs(vf))
+    assert np.max(np.abs(vf - vs)) / scale < 1e-11
+    # The upper-triangular tiles (incl. Y columns) are bit-identical.
+    np.testing.assert_array_equal(np.asarray(sym[:, :, :128, :]),
+                                  np.asarray(full[:, :, :128, :]))
+
+
+def test_sym_kernel_interpret_wiring():
+    """Pallas sym kernel wiring: mirror tiles are EXACT transposes and the
+    whole output tracks the eager twin at interpret-mode tolerance."""
+    cfg, st, idx, args, kw, k, m = _sym_setup()
+    out = np.asarray(KK.fused_loocv_df64_sym(*args, **kw, bt=128,
+                                             interpret=True))
+    ref = np.asarray(KK.fused_loocv_df64_sym_reference(*args, **kw, bt=128))
+    vo = out[:, 0].astype(np.float64) + out[:, 1].astype(np.float64)
+    vr = ref[:, 0].astype(np.float64) + ref[:, 1].astype(np.float64)
+    scale = np.max(np.abs(vr))
+    assert np.max(np.abs(vo - vr)) / scale < 1e-5  # interpret FMA noise
+    bt = 128
+    for i in range(3):
+        for j in range(i + 1, 3):
+            a = out[:, :, i * bt:(i + 1) * bt, j * bt:(j + 1) * bt]
+            b = out[:, :, j * bt:(j + 1) * bt, i * bt:(i + 1) * bt]
+            np.testing.assert_array_equal(np.swapaxes(a, 2, 3), b)
+
+
+def test_sym_kernel_geometry_errors():
+    cfg, st, idx, args, kw, k, m = _sym_setup()
+    with pytest.raises(ValueError, match="sym kernel"):
+        KK.fused_loocv_df64_sym(*args, **kw, bt=384, interpret=True)
