@@ -30,7 +30,9 @@ __all__ = ["cross_validate", "cross_validate_reduce", "materialize_cv",
            "materialize_sweep"]
 
 # A/B knob for the symmetric-mirror LOOCV kernel (read once at import).
-_SYM_LOOCV = os.environ.get("CVMATRIX_TPU_SYM_LOOCV", "1") != "0"
+# Default off until the kernel's real-chip parity + perf are recorded; the
+# TPU measurement batch A/Bs it with CVMATRIX_TPU_SYM_LOOCV=1.
+_SYM_LOOCV = os.environ.get("CVMATRIX_TPU_SYM_LOOCV", "0") != "0"
 
 
 def _auto_batch(n_folds: int, k: int, m: int, itemsize: int,
