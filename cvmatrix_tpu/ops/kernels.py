@@ -970,96 +970,71 @@ def fused_loocv_df64(
 _SYM_TILE = 256
 
 
-def _sym_tile_order(n_t: int):
-    """Tile (i, j) sequence with each strictly-upper tile immediately
-    followed by its mirror — the mirror step reads the stash written one
-    grid step earlier (TPU grids execute sequentially)."""
-    order = []
-    for i in range(n_t):
-        order.append((i, i))
-        for j in range(i + 1, n_t):
-            order.append((i, j))
-            order.append((j, i))
-    return order
-
-
-def _df64_loocv_sym_kernel(idx_ref, ti_ref, tj_ref, total_ref, xw_ref,
-                           xu_ref, yu_ref, yw_ref, gx_ref, gy_ref, ymask_ref,
-                           scal_ref, out_ref, vec_ref, stash_ref, *, bt: int,
-                           n_planes: int, with_y: bool, center_xtx: bool,
-                           center_xty: bool, scale_x: bool, scale_y: bool,
-                           resolution: float):
-    t = pl.program_id(1)
+def _df64_loocv_sym_kernel(idx_ref, total_ref, xw_ref, xu_ref, yu_ref,
+                           yw_ref, gx_ref, gy_ref, ymask_ref, scal_ref,
+                           out_ref, *, bt: int, n_planes: int, with_y: bool,
+                           center_xtx: bool, center_xty: bool, scale_x: bool,
+                           scale_y: bool, resolution: float):
+    """One fold per grid step (same grid as the full kernel); the tile loop
+    is a STATIC Python loop inside the body, so mirroring costs no extra
+    grid steps, scratch, or dynamic control flow."""
     center = center_xtx or (with_y and center_xty)
     scale = scale_x or (with_y and scale_y)
+    if with_y:
+        yu_h, yu_l = yu_ref[0, 0:1, :], yu_ref[0, 1:2, :]
+        yw_h, yw_l = yw_ref[0, 0:1, :], yw_ref[0, 1:2, :]
+    else:
+        yu_h = yu_l = yw_h = yw_l = None
+    u, v, pq_vec, i12_vec = _loocv_vectors(
+        xw_ref[0, 0:1, :], xw_ref[0, 1:2, :],
+        xu_ref[0, 0:1, :], xu_ref[0, 1:2, :],
+        yu_h, yu_l, yw_h, yw_l,
+        gx_ref[:], gy_ref[:], ymask_ref[0:1, :], scal_ref[0, 0],
+        center_xtx=center_xtx, center_xty=center_xty,
+        scale_x=scale_x, scale_y=scale_y, with_y=with_y,
+        resolution=resolution,
+    )
+    kp = total_ref.shape[1]
+    n_t = kp // bt
+    # Vector-wide Dekker splits once per fold (amortised over all tiles).
+    uhh, uhl = split(u[0])
+    vhh, vhl = split(v[0])
 
-    @pl.when(t == 0)
-    def _():
-        # Vector phase, once per fold: full-width factor-form operands into
-        # the vec scratch (rows: u, v, p, q, i1, i2 as hi/lo pairs).
-        if with_y:
-            yu_h, yu_l = yu_ref[0, 0:1, :], yu_ref[0, 1:2, :]
-            yw_h, yw_l = yw_ref[0, 0:1, :], yw_ref[0, 1:2, :]
-        else:
-            yu_h = yu_l = yw_h = yw_l = None
-        u, v, pq, i12 = _loocv_vectors(
-            xw_ref[0, 0:1, :], xw_ref[0, 1:2, :],
-            xu_ref[0, 0:1, :], xu_ref[0, 1:2, :],
-            yu_h, yu_l, yw_h, yw_l,
-            gx_ref[:], gy_ref[:], ymask_ref[0:1, :], scal_ref[0, 0],
-            center_xtx=center_xtx, center_xty=center_xty,
-            scale_x=scale_x, scale_y=scale_y, with_y=with_y,
-            resolution=resolution,
-        )
-        vec_ref[0:1, :] = u[0]
-        vec_ref[1:2, :] = u[1]
-        vec_ref[2:3, :] = v[0]
-        vec_ref[3:4, :] = v[1]
-        if center:
-            vec_ref[4:5, :] = pq[0]
-            vec_ref[5:6, :] = pq[1]
-            vec_ref[6:7, :] = pq[2]
-            vec_ref[7:8, :] = pq[3]
-        if scale:
-            vec_ref[8:9, :] = i12[0]
-            vec_ref[9:10, :] = i12[1]
-            vec_ref[10:11, :] = i12[2]
-            vec_ref[11:12, :] = i12[3]
+    def colpc(vec, r):
+        return vec[0, r * bt:(r + 1) * bt][:, None]
 
-    ti = ti_ref[t]
-    tj = tj_ref[t]
+    def rowpc(vec, c):
+        return vec[0, c * bt:(c + 1) * bt][None, :]
 
-    @pl.when(ti <= tj)
-    def _():
-        r0 = ti * bt
-        c0 = tj * bt
-
-        def col(row):
-            return vec_ref[row, pl.ds(r0, bt)][:, None]
-
-        def rowv(row):
-            return vec_ref[row, pl.ds(c0, bt)][None, :]
-
-        uh, ul = col(0), col(1)
-        vh, vl = rowv(2), rowv(3)
-        uhh, uhl = split(uh)
-        vhh, vhl = split(vh)
-        d_h, d_l = df_mul_presplit(uh, ul, uhh, uhl, vh, vl, vhh, vhl)
-        pq = (col(4), col(5), rowv(6), rowv(7)) if center else None
-        i12 = (col(8), col(9), rowv(10), rowv(11)) if scale else None
-        tt = [total_ref[p, pl.ds(r0, bt), pl.ds(c0, bt)]
-              for p in range(n_planes)]
-        oh, ol = _df64_tile_epilogue(tt, d_h, d_l, pq, i12,
-                                     presplit_total=(n_planes == 4))
-        out_ref[0, 0] = oh
-        out_ref[0, 1] = ol
-        stash_ref[0] = oh
-        stash_ref[1] = ol
-
-    @pl.when(ti > tj)
-    def _():
-        out_ref[0, 0] = jnp.transpose(stash_ref[0])
-        out_ref[0, 1] = jnp.transpose(stash_ref[1])
+    for i in range(n_t):
+        for j in range(i, n_t):
+            d_h, d_l = df_mul_presplit(
+                colpc(u[0], i), colpc(u[1], i), colpc(uhh, i), colpc(uhl, i),
+                rowpc(v[0], j), rowpc(v[1], j), rowpc(vhh, j), rowpc(vhl, j),
+            )
+            pq = None
+            if center:
+                pq = (colpc(pq_vec[0], i), colpc(pq_vec[1], i),
+                      rowpc(pq_vec[2], j), rowpc(pq_vec[3], j))
+            i12 = None
+            if scale:
+                i12 = (colpc(i12_vec[0], i), colpc(i12_vec[1], i),
+                       rowpc(i12_vec[2], j), rowpc(i12_vec[3], j))
+            tt = [
+                total_ref[p, i * bt:(i + 1) * bt, j * bt:(j + 1) * bt]
+                for p in range(n_planes)
+            ]
+            oh, ol = _df64_tile_epilogue(tt, d_h, d_l, pq, i12,
+                                         presplit_total=(n_planes == 4))
+            out_ref[0, 0, i * bt:(i + 1) * bt, j * bt:(j + 1) * bt] = oh
+            out_ref[0, 1, i * bt:(i + 1) * bt, j * bt:(j + 1) * bt] = ol
+            if j > i:
+                out_ref[0, 0, j * bt:(j + 1) * bt, i * bt:(i + 1) * bt] = (
+                    jnp.transpose(oh)
+                )
+                out_ref[0, 1, j * bt:(j + 1) * bt, i * bt:(i + 1) * bt] = (
+                    jnp.transpose(ol)
+                )
 
 
 @functools.partial(
@@ -1090,14 +1065,15 @@ def fused_loocv_df64_sym(
 ) -> jax.Array:
     """Symmetry-exploiting sibling of :func:`fused_loocv_df64`.
 
-    Same operands, same (F, 2, KP, CP) output; the grid runs (fold, tile)
-    with strictly-lower tiles written as in-VMEM transposes of their upper
-    partners instead of recomputed — for KP = 2 tiles that removes 1/4 of
-    the VPU epilogue work on the flop-bound all-flags path. Mirrored
-    entries differ from direct computation by the ~2^-46 factor-form
-    rounding asymmetry (the output becomes exactly symmetric in the X
-    block, Y columns land in padding rows of the mirrors — see the module
-    comment above).
+    Same operands, same grid (one fold per step), same (F, 2, KP, CP)
+    output; the body loops over ``bt x bt`` tiles statically, computing
+    only ``i <= j`` and writing strictly-lower tiles as in-register
+    transposes of their upper partners — at KP = 512 / 2 tiles per side
+    that removes 1/4 of the VPU epilogue work on the flop-bound all-flags
+    path. Mirrored entries differ from direct computation by the ~2^-46
+    factor-form rounding asymmetry (the output becomes exactly symmetric
+    in the X block; Y columns land in padding rows of the mirrors — see
+    the module comment above).
 
     Requires KP == CP, KP a multiple of ``bt``, and at least 2 tiles per
     side (use :func:`fused_loocv_df64` otherwise).
@@ -1110,38 +1086,27 @@ def fused_loocv_df64_sym(
             f"got ({kp}, {cp})"
         )
     n_t = kp // bt
-    order = _sym_tile_order(n_t)
-    tis = jnp.asarray([i for i, _ in order], jnp.int32)
-    tjs = jnp.asarray([j for _, j in order], jnp.int32)
-
     # f * 0: Python int literals trace as i64 under x64 (Mosaic can't
     # legalize them in index maps).
-    row = lambda f, t, i_r, ti_r, tj_r: (i_r[f], f * 0, f * 0)  # noqa: E731
-    c3 = lambda f, t, i_r, ti_r, tj_r: (f * 0, f * 0, f * 0)  # noqa: E731
-    c2 = lambda f, t, i_r, ti_r, tj_r: (f * 0, f * 0)  # noqa: E731
+    row = lambda f, idx_ref: (idx_ref[f], f * 0, f * 0)  # noqa: E731
+    const3 = lambda f, idx_ref: (f * 0, f * 0, f * 0)  # noqa: E731
+    const2 = lambda f, idx_ref: (f * 0, f * 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(f_folds, len(order)),
+        num_scalar_prefetch=1,
+        grid=(f_folds,),
         in_specs=[
-            pl.BlockSpec((n_planes, kp, cp), c3),
+            pl.BlockSpec((n_planes, kp, cp), const3),
             pl.BlockSpec((1, 2, kp), row),
             pl.BlockSpec((1, 2, kp), row),
-            pl.BlockSpec((1, 2, cp), row if with_y else c3),
-            pl.BlockSpec((1, 2, cp), row if with_y else c3),
-            pl.BlockSpec((4, kp), c2),
-            pl.BlockSpec((4, cp), c2),
-            pl.BlockSpec((1, cp), c2),
-            pl.BlockSpec((1, 1, 128),
-                         lambda f, t, i_r, ti_r, tj_r: (f, f * 0, f * 0)),
+            pl.BlockSpec((1, 2, cp), row if with_y else const3),
+            pl.BlockSpec((1, 2, cp), row if with_y else const3),
+            pl.BlockSpec((4, kp), const2),
+            pl.BlockSpec((4, cp), const2),
+            pl.BlockSpec((1, cp), const2),
+            pl.BlockSpec((1, 1, 128), lambda f, idx_ref: (f, f * 0, f * 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 2, bt, bt),
-            lambda f, t, i_r, ti_r, tj_r: (f, f * 0, ti_r[t], tj_r[t]),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((12, kp), jnp.float32),
-            pltpu.VMEM((2, bt, bt), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, 2, kp, cp),
+                               lambda f, idx_ref: (f, f * 0, f * 0, f * 0)),
     )
     scale = scale_x or (with_y and scale_y)
     n_upper = n_t * (n_t + 1) // 2
@@ -1167,7 +1132,7 @@ def fused_loocv_df64_sym(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(idx, tis, tjs, total4, xw, xu, yu, yw, gx, gy, ymask, scal)
+    )(idx, total4, xw, xu, yu, yw, gx, gy, ymask, scal)
 
 
 def fused_loocv_df64_sym_reference(
