@@ -26,6 +26,8 @@ semantics, different schedule.
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -549,6 +551,15 @@ def loocv_from_sources(config: CVConfig, src: LoocvSources,
         resolution=config.resolution,
         interpret=interpret,
     )
+
+
+def _sym_enabled() -> bool:
+    """A/B knob for the symmetric-mirror kernels (LOOCV and v3).
+
+    Read per call so benchmark processes can A/B without re-importing;
+    default off until real-chip parity + perf numbers are recorded.
+    """
+    return os.environ.get("CVMATRIX_TPU_SYM_LOOCV", "0") != "0"
 
 
 def loocv_sym_tile(kp: int):
@@ -1404,7 +1415,16 @@ def ozaki_v3_from_sources(config: CVConfig, src: OzakiSources, rows=None,
         if src.mask2d is not None and mask_rows is None:
             mask_rows = src.mask2d.reshape(-1).astype(jnp.float32)
     sa, sb = gather_ozaki_rows(src.saN, src.sbN_rev, rows, mask_rows)
-    return kernels.fused_ozaki_downdate_v3(
+    # Symmetric-mirror variant (see loocv_sym_tile / the sym kernels):
+    # compute only i <= j tiles of the products + epilogue, transpose the
+    # mirrors. Same A/B knob as the LOOCV kernel.
+    bt_sym = loocv_sym_tile(src.kp) if _sym_enabled() else None
+    kern = (
+        kernels.fused_ozaki_downdate_v3 if bt_sym is None
+        else functools.partial(kernels.fused_ozaki_downdate_v3_sym,
+                               bt=bt_sym)
+    )
+    return kern(
         src.total2, sa, sb, src.pa, src.pb, src.gx,
         src.sxv if sxv_slice is None else sxv_slice,
         src.yvec if yvec_slice is None else yvec_slice,

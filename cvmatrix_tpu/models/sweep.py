@@ -13,7 +13,6 @@ feature: one call computes every fold's training matrices with
 
 from __future__ import annotations
 
-import os
 from functools import lru_cache
 from typing import Dict, Hashable, Iterator, Optional, Tuple
 
@@ -28,11 +27,6 @@ from .partitioner import Partitioner
 
 __all__ = ["cross_validate", "cross_validate_reduce", "materialize_cv",
            "materialize_sweep"]
-
-# A/B knob for the symmetric-mirror LOOCV kernel (read once at import).
-# Default off until the kernel's real-chip parity + perf are recorded; the
-# TPU measurement batch A/Bs it with CVMATRIX_TPU_SYM_LOOCV=1.
-_SYM_LOOCV = os.environ.get("CVMATRIX_TPU_SYM_LOOCV", "0") != "0"
 
 
 def _auto_batch(n_folds: int, k: int, m: int, itemsize: int,
@@ -312,6 +306,7 @@ def _materialize_sweep_impl(
     state, idx, mask,
 ):
     from ..core.batch import (
+        _sym_enabled,
         downdate_from_operands,
         loocv_f32_from_sources,
         loocv_from_sources,
@@ -347,7 +342,7 @@ def _materialize_sweep_impl(
         # strictly-lower output tiles are in-VMEM transposes instead of
         # recomputed epilogue — the flop cut on the VPU-bound all-flags
         # path. CVMATRIX_TPU_SYM_LOOCV=0 forces the full kernel (A/B knob).
-        bt_sym = loocv_sym_tile(src.kp) if (is_f64 and _SYM_LOOCV) else None
+        bt_sym = loocv_sym_tile(src.kp) if (is_f64 and _sym_enabled()) else None
 
         def body(c, carry):
             ci = jax.lax.dynamic_slice_in_dim(rows, c * bs, bs, 0)

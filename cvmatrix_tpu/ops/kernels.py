@@ -54,6 +54,7 @@ __all__ = [
     "fused_loocv_f32",
     "fused_ozaki_downdate_df64",
     "fused_ozaki_downdate_v3",
+    "fused_ozaki_downdate_v3_sym",
     "fused_smallfold_df64",
     "ozaki_trim_groups",
     "slice_rows",
@@ -1936,6 +1937,161 @@ def _ozaki_v3_fold_math(total, sa, sb_rev, pa, pb, gx, sxv, yvec, ymask,
     return _df64_ref_epilogue_vals(total, d_h, d_l, pq, i12)
 
 
+def _ozaki_v3_sym_tiles(total_tile, sa, sb_rev, pa, pb, gx, sxv, yvec,
+                        ymask, scal_row, *, bt: int, center_xtx: bool,
+                        center_xty: bool, scale_x: bool, scale_y: bool,
+                        with_y: bool, resolution: float):
+    """Upper-tile (i <= j) values of one fold's v3 downdate math.
+
+    The symmetric-mirror decomposition of :func:`_ozaki_v3_fold_math`
+    (see the sym LOOCV kernel comment for the mirroring contract):
+    prefix-stack products, recombination, statistics and the epilogue run
+    per ``bt x bt`` tile for ``i <= j`` only — computed tiles are
+    bit-identical to the corresponding regions of the full math (slicing
+    commutes with every elementwise op; the per-tile int32 dot sums are
+    exact either way, and the X-side squared sums come from the DIAGONAL
+    tiles, which are always computed). ``total_tile(p, i, j)`` yields
+    plane ``p``'s tile. Returns ``[(i, j, hi, lo), ...]``.
+    """
+    sp, lp = sa.shape[0], sa.shape[1]
+    kp = sa.shape[2]
+    cp = sb_rev.shape[2]
+    n_t = kp // bt
+    sa_flat = sa.reshape(sp * lp, kp)
+    sb_flat = sb_rev.reshape(sp * lp, cp)
+    pa1, pa2 = pa[0:1, :], pa[1:2, :]
+    pb1, pb2 = pb[0:1, :], pb[1:2, :]
+
+    prods = {}
+    for i in range(n_t):
+        for j in range(i, n_t):
+            acc_h = acc_l = tail = None
+            for s in range(sp):
+                d32 = jax.lax.dot_general(
+                    sa_flat[: (s + 1) * lp, i * bt:(i + 1) * bt],
+                    sb_flat[(sp - 1 - s) * lp:, j * bt:(j + 1) * bt],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                g = d32.astype(jnp.float32) * 2.0 ** (
+                    -float(_OZAKI_T_BITS) * (s + 2)
+                )
+                if s == 0:
+                    acc_h = g
+                    acc_l = jnp.zeros_like(g)
+                elif s < _V3_TAIL_START:
+                    t, e = two_sum(acc_h, g)
+                    acc_h = t
+                    acc_l = acc_l + e
+                else:
+                    tail = g if tail is None else tail + g
+            if tail is not None:
+                t, e = two_sum(acc_h, tail)
+                acc_h = t
+                acc_l = acc_l + e
+            # Same sequential exact power-of-two scaling order as the full
+            # math (each factor column-sliced to the tile).
+            fa1 = pa1[0, i * bt:(i + 1) * bt][:, None]
+            fa2 = pa2[0, i * bt:(i + 1) * bt][:, None]
+            fb1 = pb1[0, j * bt:(j + 1) * bt][None, :]
+            fb2 = pb2[0, j * bt:(j + 1) * bt][None, :]
+            prods[(i, j)] = (acc_h * fa1 * fb1 * fa2 * fb2,
+                             acc_l * fa1 * fb1 * fa2 * fb2)
+
+    sw = (scal_row[0], scal_row[1])
+    rsw = (scal_row[2], scal_row[3])
+    rdv = (scal_row[4], scal_row[5])
+    center = center_xtx or (with_y and center_xty)
+    scale = scale_x or (with_y and scale_y)
+    need_x_mean = center or scale_x
+
+    mX = r1 = None
+    if need_x_mean:
+        sq = None
+        if scale_x:
+            ph, pl_ = [], []
+            for i in range(n_t):
+                d_h, d_l = prods[(i, i)]
+                rows = jax.lax.broadcasted_iota(jnp.int32, d_h.shape, 0)
+                cols = jax.lax.broadcasted_iota(jnp.int32, d_h.shape, 1)
+                dm = rows == cols
+                ph.append(jnp.sum(jnp.where(dm, d_h, 0.0), axis=0,
+                                  keepdims=True))
+                pl_.append(jnp.sum(jnp.where(dm, d_l, 0.0), axis=0,
+                                   keepdims=True))
+            sq = (jnp.concatenate(ph, axis=1), jnp.concatenate(pl_, axis=1))
+        mX, r1 = _df64_side_stats_from_sums(
+            (sxv[0:1, :], sxv[1:2, :]), sq, gx, sw, rsw, rdv,
+            need_x_mean, scale_x, resolution=resolution,
+        )
+
+    pq_vec = None
+    if center:
+        p = df_mul(mX[0], mX[1], *sw)
+        qx = mX if center_xtx else (jnp.zeros_like(mX[0]),
+                                    jnp.zeros_like(mX[1]))
+        if with_y and center_xty:
+            q = df_add(qx[0], qx[1], yvec[0, 0:1, :], yvec[0, 1:2, :])
+        else:
+            q = qx
+        pq_vec = (p[0], p[1], q[0], q[1])
+
+    i12_vec = None
+    if scale:
+        ones = jnp.ones((1, kp), jnp.float32)
+        zeros = jnp.zeros((1, kp), jnp.float32)
+        i1 = r1 if scale_x else (ones, zeros)
+        i2y = (yvec[1, 0:1, :], yvec[1, 1:2, :])
+        i2 = (jnp.where(ymask > 0, i2y[0], i1[0]),
+              jnp.where(ymask > 0, i2y[1], i1[1]))
+        i12_vec = (i1[0], i1[1], i2[0], i2[1])
+
+    out = []
+    for i in range(n_t):
+        for j in range(i, n_t):
+            d_h, d_l = prods[(i, j)]
+            pq = None
+            if center:
+                pq = (pq_vec[0][0, i * bt:(i + 1) * bt][:, None],
+                      pq_vec[1][0, i * bt:(i + 1) * bt][:, None],
+                      pq_vec[2][0, j * bt:(j + 1) * bt][None, :],
+                      pq_vec[3][0, j * bt:(j + 1) * bt][None, :])
+            i12 = None
+            if scale:
+                i12 = (i12_vec[0][0, i * bt:(i + 1) * bt][:, None],
+                       i12_vec[1][0, i * bt:(i + 1) * bt][:, None],
+                       i12_vec[2][0, j * bt:(j + 1) * bt][None, :],
+                       i12_vec[3][0, j * bt:(j + 1) * bt][None, :])
+            tt = [total_tile(0, i, j), total_tile(1, i, j)]
+            oh, ol = _df64_ref_epilogue_vals(tt, d_h, d_l, pq, i12)
+            out.append((i, j, oh, ol))
+    return out
+
+
+def _ozaki_v3_sym_kernel(total_ref, sa_ref, sb_ref, pa_ref, pb_ref, gx_ref,
+                         sxv_ref, yvec_ref, ymask_ref, scal_ref, out_ref, *,
+                         bt: int, **flags):
+    """Pallas wrapper of :func:`_ozaki_v3_sym_tiles`: write computed tiles,
+    mirror the strictly-lower ones by in-register transpose."""
+    tiles = _ozaki_v3_sym_tiles(
+        lambda p, i, j: total_ref[
+            p, i * bt:(i + 1) * bt, j * bt:(j + 1) * bt
+        ],
+        sa_ref[:], sb_ref[:], pa_ref[:], pb_ref[:], gx_ref[:], sxv_ref[0],
+        yvec_ref[0], ymask_ref[0:1, :], scal_ref[0, 0], bt=bt, **flags,
+    )
+    for i, j, oh, ol in tiles:
+        out_ref[0, 0, i * bt:(i + 1) * bt, j * bt:(j + 1) * bt] = oh
+        out_ref[0, 1, i * bt:(i + 1) * bt, j * bt:(j + 1) * bt] = ol
+        if j > i:
+            out_ref[0, 0, j * bt:(j + 1) * bt, i * bt:(i + 1) * bt] = (
+                jnp.transpose(oh)
+            )
+            out_ref[0, 1, j * bt:(j + 1) * bt, i * bt:(i + 1) * bt] = (
+                jnp.transpose(ol)
+            )
+
+
 def _ozaki_v3_kernel(total_ref, sa_ref, sb_ref, pa_ref, pb_ref, gx_ref,
                      sxv_ref, yvec_ref, ymask_ref, scal_ref, out_ref,
                      **flags):
@@ -2040,6 +2196,140 @@ def fused_ozaki_downdate_v3(
         ),
         interpret=interpret,
     )(total2, sa, sb_rev, pa, pb, gx, sxv, yvec, ymask, scal)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("center_xtx", "center_xty", "scale_x", "scale_y",
+                     "with_y", "resolution", "bt", "interpret"),
+)
+def fused_ozaki_downdate_v3_sym(
+    total2: jax.Array,  # (2, KP, CP) total pair planes, KP == CP
+    sa: jax.Array,      # (Sp, F * Lp, KP) int8
+    sb_rev: jax.Array,  # (Sp, F * Lp, CP) int8, REVERSED slice order
+    pa: jax.Array,
+    pb: jax.Array,
+    gx: jax.Array,
+    sxv: jax.Array,
+    yvec: jax.Array,
+    ymask: jax.Array,
+    scal: jax.Array,
+    *,
+    center_xtx: bool,
+    center_xty: bool,
+    scale_x: bool,
+    scale_y: bool,
+    with_y: bool,
+    resolution: float,
+    bt: int = _SYM_TILE,
+    interpret: bool = False,
+) -> jax.Array:
+    """Symmetry-exploiting sibling of :func:`fused_ozaki_downdate_v3`.
+
+    Same operands and output; the MXU prefix-stack products, the
+    recombination chains AND the epilogue run only for tiles ``i <= j``,
+    with strictly-lower tiles written as in-register transposes — ~1/4
+    less of everything but the stores at KP = 512 / 2 tiles per side.
+    Mirrored entries carry the ~2^-46 factor-form rounding asymmetry
+    (see :func:`fused_loocv_df64_sym`); Y columns mirror into padding
+    rows, which every consumer slices off.
+    """
+    sp_slices, rows_total, kp = sa.shape
+    cp = sb_rev.shape[2]
+    f_folds = scal.shape[0]
+    lp = rows_total // f_folds
+    if kp != cp or kp % bt or kp // bt < 2:
+        raise ValueError(
+            f"sym kernel needs KP == CP, KP % {bt} == 0, >= 2 tiles; "
+            f"got ({kp}, {cp})"
+        )
+    if sp_slices * lp * 65 * 65 >= 2 ** 24:
+        raise ValueError("fold rows too large for single-f32 group sums")
+    c2 = lambda f: (f * 0, f * 0)  # noqa: E731
+    c3 = lambda f: (f * 0, f * 0, f * 0)  # noqa: E731
+    n_t = kp // bt
+    n_upper = n_t * (n_t + 1) // 2
+    frac = n_upper / (n_t * n_t)
+    return pl.pallas_call(
+        functools.partial(
+            _ozaki_v3_sym_kernel, bt=bt,
+            center_xtx=center_xtx, center_xty=center_xty,
+            scale_x=scale_x, scale_y=scale_y, with_y=with_y,
+            resolution=resolution,
+        ),
+        grid=(f_folds,),
+        in_specs=[
+            pl.BlockSpec((2, kp, cp), c3),
+            pl.BlockSpec((sp_slices, lp, kp), lambda f: (f * 0, f, f * 0)),
+            pl.BlockSpec((sp_slices, lp, cp), lambda f: (f * 0, f, f * 0)),
+            pl.BlockSpec((2, kp), c2),
+            pl.BlockSpec((2, cp), c2),
+            pl.BlockSpec((4, kp), c2),
+            pl.BlockSpec((1, 2, kp), lambda f: (f, f * 0, f * 0)),
+            pl.BlockSpec((1, 2, 2, cp), lambda f: (f, f * 0, f * 0, f * 0)),
+            pl.BlockSpec((1, cp), c2),
+            pl.BlockSpec((1, 1, 128), lambda f: (f, f * 0, f * 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, kp, cp),
+                               lambda f: (f, f * 0, f * 0, f * 0)),
+        out_shape=jax.ShapeDtypeStruct((f_folds, 2, kp, cp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(
+                f_folds * kp * cp
+                * (sp_slices * (sp_slices + 1) * lp
+                   + 7 * sp_slices + 80) * frac
+            ),
+            bytes_accessed=(
+                f_folds * kp * cp * 8 + kp * cp * 8
+                + f_folds * sp_slices * lp * (kp + cp)
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(total2, sa, sb_rev, pa, pb, gx, sxv, yvec, ymask, scal)
+
+
+def fused_ozaki_v3_sym_reference(
+    idx2d, mask2d, total2, saN, sbN_rev, pa, pb, gx, sxv, yvec, ymask,
+    scal, *, center_xtx, center_xty, scale_x, scale_y, with_y, resolution,
+    bt: int = _SYM_TILE,
+):
+    """Eager reference of :func:`fused_ozaki_downdate_v3_sym` (do NOT jit)."""
+    f_folds, n_l = idx2d.shape
+    kp = total2.shape[1]
+    cp = total2.shape[2]
+    outs = []
+    for f in range(int(f_folds)):
+        rows = np.asarray(idx2d[f])
+        sa = jnp.asarray(np.asarray(saN)[:, rows])
+        sb = jnp.asarray(np.asarray(sbN_rev)[:, rows])
+        if mask2d is not None:
+            m = jnp.asarray(np.asarray(mask2d[f]), jnp.float32)
+            sa = jnp.where(m[None, :, None] > 0, sa, jnp.zeros_like(sa))
+        tiles = _ozaki_v3_sym_tiles(
+            lambda p, i, j: total2[p, i * bt:(i + 1) * bt,
+                                   j * bt:(j + 1) * bt],
+            sa, sb, pa, pb, gx, sxv[f], yvec[f], ymask[0:1, :], scal[f, 0],
+            bt=bt, center_xtx=center_xtx, center_xty=center_xty,
+            scale_x=scale_x, scale_y=scale_y, with_y=with_y,
+            resolution=resolution,
+        )
+        buf = np.zeros((2, kp, cp), np.float32)
+        for i, j, oh, ol in tiles:
+            buf[0, i * bt:(i + 1) * bt, j * bt:(j + 1) * bt] = np.asarray(oh)
+            buf[1, i * bt:(i + 1) * bt, j * bt:(j + 1) * bt] = np.asarray(ol)
+            if j > i:
+                buf[0, j * bt:(j + 1) * bt, i * bt:(i + 1) * bt] = (
+                    np.asarray(oh).T
+                )
+                buf[1, j * bt:(j + 1) * bt, i * bt:(i + 1) * bt] = (
+                    np.asarray(ol).T
+                )
+        outs.append(buf)
+    return jnp.asarray(np.stack(outs))
 
 
 def fused_ozaki_v3_reference(

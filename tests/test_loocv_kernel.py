@@ -365,3 +365,66 @@ def test_sym_kernel_geometry_errors():
     cfg, st, idx, args, kw, k, m = _sym_setup()
     with pytest.raises(ValueError, match="sym kernel"):
         KK.fused_loocv_df64_sym(*args, **kw, bt=384, interpret=True)
+
+
+# ---- symmetric-mirror v3 kernel ----------------------------------------- #
+
+def _v3_sym_setup(flags=(True, True, True, True)):
+    n, k, m = 400, 300, 5   # kp = 384 -> 3 tiles at bt=128
+    rng2 = np.random.default_rng(9)
+    X = rng2.normal(size=(n, k)) * 2 + 0.5
+    Y = rng2.normal(size=(n, m))
+    w = rng2.uniform(0, 2, size=n)
+    cfg = CVConfig(*flags, ddof=1, dtype=np.float64)
+    st = fit(cfg, X, Y, w)
+    idx = np.arange(80).reshape(2, 40)
+    src = B.prepare_ozaki_sources(cfg, st, idx)
+    kw = dict(center_xtx=cfg.center_X,
+              center_xty=cfg.center_X or cfg.center_Y,
+              scale_x=cfg.scale_X, scale_y=cfg.scale_Y,
+              with_y=True, resolution=cfg.resolution)
+    return cfg, st, src, kw, k, m
+
+
+@pytest.mark.parametrize("flags", [
+    (True, True, True, True), (False, False, False, False),
+    (True, True, False, False), (False, False, True, True),
+])
+def test_ozaki_v3_sym_reference_matches_full(flags):
+    """v3 sym eager twin == full v3 eager twin up to the mirror asymmetry
+    (compare the real [:K, :K+M] region — mirrors land in padding rows)."""
+    cfg, st, src, kw, k, m = _v3_sym_setup(flags)
+    args = (np.asarray(src.idx), None, src.total2, src.saN, src.sbN_rev,
+            src.pa, src.pb, src.gx, src.sxv, src.yvec, src.ymask, src.scal)
+    full = KK.fused_ozaki_v3_reference(*args, **kw)
+    sym = KK.fused_ozaki_v3_sym_reference(*args, **kw, bt=128)
+    vf = np.asarray(df_to_f64(full[:, 0], full[:, 1]))[:, :k, :k + m]
+    vs = np.asarray(df_to_f64(sym[:, 0], sym[:, 1]))[:, :k, :k + m]
+    scale = np.max(np.abs(vf))
+    assert np.max(np.abs(vf - vs)) / scale < 1e-11
+    # The top row-stripe of tiles is all-computed and bit-identical.
+    np.testing.assert_array_equal(np.asarray(sym[:, :, :128, :]),
+                                  np.asarray(full[:, :, :128, :]))
+
+
+def test_ozaki_v3_sym_kernel_interpret_wiring():
+    cfg, st, src, kw, k, m = _v3_sym_setup()
+    args = (np.asarray(src.idx), None, src.total2, src.saN, src.sbN_rev,
+            src.pa, src.pb, src.gx, src.sxv, src.yvec, src.ymask, src.scal)
+    ref = np.asarray(KK.fused_ozaki_v3_sym_reference(*args, **kw, bt=128))
+    from cvmatrix_tpu.core.batch import gather_ozaki_rows
+    sa, sb = gather_ozaki_rows(src.saN, src.sbN_rev,
+                               src.idx.reshape(-1).astype(np.int32))
+    out = np.asarray(KK.fused_ozaki_downdate_v3_sym(
+        src.total2, sa, sb, src.pa, src.pb, src.gx, src.sxv, src.yvec,
+        src.ymask, src.scal, **kw, bt=128, interpret=True))
+    vo = out[:, 0].astype(np.float64) + out[:, 1].astype(np.float64)
+    vr = ref[:, 0].astype(np.float64) + ref[:, 1].astype(np.float64)
+    scale = np.max(np.abs(vr))
+    assert np.max(np.abs(vo - vr)) / scale < 1e-5  # interpret FMA noise
+    bt = 128
+    for i in range(3):
+        for j in range(i + 1, 3):
+            a = out[:, :, i * bt:(i + 1) * bt, j * bt:(j + 1) * bt]
+            b = out[:, :, j * bt:(j + 1) * bt, i * bt:(i + 1) * bt]
+            np.testing.assert_array_equal(np.swapaxes(a, 2, 3), b)
