@@ -1904,8 +1904,9 @@ def _ozaki_v3_fold_math(total, sa, sb_rev, pa, pb, gx, sxv, yvec, ymask,
             rows = jax.lax.broadcasted_iota(jnp.int32, d_h.shape, 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, d_h.shape, 1)
             dm = rows == cols
-            sq = (jnp.sum(jnp.where(dm, d_h, 0.0), axis=0, keepdims=True),
-                  jnp.sum(jnp.where(dm, d_l, 0.0), axis=0, keepdims=True))
+            z = jnp.float32(0.0)  # literal 0.0 is weak f64 under x64
+            sq = (jnp.sum(jnp.where(dm, d_h, z), axis=0, keepdims=True),
+                  jnp.sum(jnp.where(dm, d_l, z), axis=0, keepdims=True))
         mX, r1 = _df64_side_stats_from_sums(
             (sxv[0:1, :], sxv[1:2, :]), sq, gx, sw, rsw, rdv,
             need_x_mean, scale_x, resolution=resolution,
@@ -2015,9 +2016,10 @@ def _ozaki_v3_sym_tiles(total_tile, sa, sb_rev, pa, pb, gx, sxv, yvec,
                 rows = jax.lax.broadcasted_iota(jnp.int32, d_h.shape, 0)
                 cols = jax.lax.broadcasted_iota(jnp.int32, d_h.shape, 1)
                 dm = rows == cols
-                ph.append(jnp.sum(jnp.where(dm, d_h, 0.0), axis=0,
+                z = jnp.float32(0.0)
+                ph.append(jnp.sum(jnp.where(dm, d_h, z), axis=0,
                                   keepdims=True))
-                pl_.append(jnp.sum(jnp.where(dm, d_l, 0.0), axis=0,
+                pl_.append(jnp.sum(jnp.where(dm, d_l, z), axis=0,
                                    keepdims=True))
             sq = (jnp.concatenate(ph, axis=1), jnp.concatenate(pl_, axis=1))
         mX, r1 = _df64_side_stats_from_sums(
