@@ -553,13 +553,16 @@ def loocv_from_sources(config: CVConfig, src: LoocvSources,
     )
 
 
-def _sym_enabled() -> bool:
-    """A/B knob for the symmetric-mirror kernels (LOOCV and v3).
+# A/B knob for the symmetric-mirror kernels (LOOCV and v3); read ONCE at
+# import. Flipping the env var mid-process would be silently ignored
+# anyway: the routing happens at trace time and the module-level jit
+# caches key on static args only — A/B comparisons need separate
+# processes. Default off until real-chip parity + perf are recorded.
+_SYM_KERNELS = os.environ.get("CVMATRIX_TPU_SYM_LOOCV", "0") != "0"
 
-    Read per call so benchmark processes can A/B without re-importing;
-    default off until real-chip parity + perf numbers are recorded.
-    """
-    return os.environ.get("CVMATRIX_TPU_SYM_LOOCV", "0") != "0"
+
+def _sym_enabled() -> bool:
+    return _SYM_KERNELS
 
 
 def loocv_sym_tile(kp: int):
@@ -796,6 +799,18 @@ def batched_matrices_from_blocks(
     n_l = blocks.Xv_w.shape[1]
     is_f64 = dt.itemsize == 8
     if (
+        not is_f64
+        and n_l >= LARGE_FOLD_ROWS
+    ):
+        # f32 large folds: the same MXU downdate route as
+        # training_matrices_batched (the packed L-step VPU kernel would
+        # cost O(L) passes per fold).
+        return _f32_kernel_path(
+            config, state, None, None,
+            return_XTX=return_XTX, return_XTY=return_XTY,
+            blocks_stats=(blocks, stats5), interpret=interpret,
+        )
+    if (
         is_f64
         and n_l >= large_fold_threshold(config, state, return_XTX, return_XTY)
     ):
@@ -994,14 +1009,22 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
     return pair_out, stats, k, c
 
 
-def _f32_kernel_path(config, state, idx, mask, *, return_XTX, return_XTY):
-    """f32 engine: MXU downdate kernel (reference operand form)."""
-    blocks, stats5 = _gather_and_stats(
-        config, state, idx, mask, return_XTX, return_XTY
-    )
+def _f32_kernel_path(config, state, idx, mask, *, return_XTX, return_XTY,
+                     blocks_stats=None, interpret=False):
+    """f32 engine: MXU downdate kernel (reference operand form).
+
+    ``blocks_stats=(blocks, stats5)`` skips the gather (mesh path:
+    validation rows arrive pre-gathered from the row shards).
+    """
+    if blocks_stats is None:
+        blocks, stats5 = _gather_and_stats(
+            config, state, idx, mask, return_XTX, return_XTY
+        )
+    else:
+        blocks, stats5 = blocks_stats
     X_mean, X_std, Y_mean, Y_std, sum_w_train = stats5
+    f_folds = blocks.Xv_w.shape[0]
     stats = (X_mean, X_std, Y_mean, Y_std)
-    f_folds = idx.shape[0]
     k = state.K
 
     center_xtx = config.center_X
@@ -1058,7 +1081,7 @@ def _f32_kernel_path(config, state, idx, mask, *, return_XTX, return_XTY):
         inv2 = jnp.concatenate(i2p, axis=1) if len(i2p) > 1 else i2p[0]
     out = kernels.fused_downdate(
         total, blocks.Xv_w, m2, a1, mb, inv1, inv2,
-        center=center, scale=scale,
+        center=center, scale=scale, interpret=interpret,
     ).astype(config.dtype)
     if return_XTX and return_XTY:
         return (out[:, :, :k], out[:, :, k:]), stats
@@ -1293,6 +1316,12 @@ def prepare_ozaki_sources(
     # slices; the (reversed) B side keeps the LAST n_sp entries — slices
     # n_sp-1 .. 0 in the prefix-stack order the kernel expects.
     n_built = planes.saN.shape[0]
+    if n_built < n_sp:
+        raise ValueError(
+            f"shared dataset planes were built with {n_built} slices but "
+            f"this fold size needs {n_sp} (ozaki_trim_groups); rebuild "
+            f"dataset_planes with n_slices >= {n_sp}."
+        )
     saN = planes.saN if n_built == n_sp else planes.saN[:n_sp]
     sbN_rev = (
         planes.sbN_rev if n_built == n_sp

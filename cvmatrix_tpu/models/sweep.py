@@ -527,6 +527,8 @@ def materialize_cv(
     Fetching the returned scalar is the completion barrier for the whole
     fit + sweep.
     """
+    from ..utils.tracing import is_concrete
+
     X = jnp.asarray(X, config.dtype)
     if X.ndim == 1:
         X = X.reshape(-1, 1)
@@ -534,6 +536,11 @@ def materialize_cv(
     if Yd is not None and Yd.ndim == 1:
         Yd = Yd.reshape(-1, 1)
     wd = None if weights is None else jnp.asarray(weights, config.dtype)
+    # Host-side pre-flight: the fused program runs fit(validate=False)
+    # under jit, so the negative-weights contract (ref :1186-1189) must be
+    # enforced here, like fit() / fit_sharded do.
+    if wd is not None and is_concrete(wd) and bool(jnp.any(wd < 0)):
+        raise ValueError("Weights must be non-negative.")
 
     idx = jnp.asarray(idx_batch)
     mask = None if mask_batch is None else jnp.asarray(mask_batch, config.dtype)

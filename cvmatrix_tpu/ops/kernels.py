@@ -97,7 +97,8 @@ def _kernel(total_ref, xv_ref, m2_ref, a1_ref, mb_ref, i1_ref, i2_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("center", "scale", "block_k", "block_c", "block_l")
+    jax.jit, static_argnames=("center", "scale", "block_k", "block_c",
+                              "block_l", "interpret")
 )
 def fused_downdate(
     total: jax.Array,  # (K, C)
@@ -113,6 +114,7 @@ def fused_downdate(
     block_k: int = 512,
     block_c: int = 512,
     block_l: int = 512,
+    interpret: bool = False,
 ) -> jax.Array:
     """One-HBM-pass batched downdate; returns (F, K, C) float32.
 
@@ -199,6 +201,7 @@ def fused_downdate(
             ),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(total_p, xv_p, m2_p, a1_p, mb_p, i1_p, i2_p)
     return out[:, :k, :c]
 

@@ -349,6 +349,20 @@ def symmetric_contract(
                 )
                 y_acc = y_acc + d32.astype(f64) * group_scale[s]
 
+    # Apply each block's position-dependent column scales BEFORE mirroring:
+    # entry (p, q) carries 2^(e_a[p] + e_b[q]), and e_a - e_b is NOT
+    # column-constant for weighted fits (the weighted operand's per-column
+    # exponents differ from the unweighted twin's), so transposing raw
+    # accumulator blocks and scaling by output position afterwards would be
+    # wrong by 2^((e_a-e_b)[p] - (e_a-e_b)[q]) on every mirrored entry.
+    # Power-of-two scaling is exact, so scaling first changes nothing else.
+    e_a_pad = jnp.pad(e_a, (0, ka_pad - k))
+    e_bx_pad = jnp.pad(e_b[:k], (0, ka_pad - k))
+    offs = jnp.arange(cb)
+    row_e = e_a_pad[jnp.asarray(pairs[:, 0])[:, None] + offs[None, :]]
+    col_e = e_bx_pad[jnp.asarray(pairs[:, 1])[:, None] + offs[None, :]]
+    outs = outs * _pow2(row_e[:, :, None] + col_e[:, None, :])
+
     # Assemble: scatter the computed pairs AND their transposed strict-upper
     # twins into the (nb, nb) block grid in one pass (one output-sized
     # buffer — a scatter-then-mirror would double-buffer multi-GB arrays at
@@ -362,12 +376,10 @@ def symmetric_contract(
         [outs, jnp.transpose(outs[jnp.asarray(strict)], (0, 2, 1))]
     )
     grid = jnp.zeros((nb, nb, cb, cb), f64).at[all_i, all_j].set(vals)
-    xtx = jnp.transpose(grid, (0, 2, 1, 3)).reshape(ka_pad, ka_pad)[:k, :k]
+    out_x = jnp.transpose(grid, (0, 2, 1, 3)).reshape(ka_pad, ka_pad)[:k, :k]
 
-    e_ax = e_a[:, None]
-    out_x = xtx * _pow2(e_ax + e_b[None, :k])
     if m:
-        out_y = y_acc[:k] * _pow2(e_ax + e_b[None, k:])
+        out_y = y_acc[:k] * _pow2(e_a[:, None] + e_b[None, k:])
         return jnp.concatenate([out_x, out_y], axis=1).astype(out_dtype)
     return out_x.astype(out_dtype)
 

@@ -13,8 +13,11 @@ module adds the process-level plumbing:
   sharded fit.
 
 Single-host meshes degenerate gracefully (process_count() == 1), so the same
-code runs everywhere; the multi-process path follows the standard
-``jax.make_array_from_process_local_data`` contract.
+code runs everywhere. The multi-process path builds the global arrays with
+per-device ``jax.make_array_from_single_device_arrays`` from the row ranges
+:func:`host_row_ranges` assigns — each process loads exactly the rows of the
+mesh positions whose devices it hosts, contiguous in mesh-flat order or not
+(:func:`host_row_slice` refuses layouts it cannot express as one slice).
 """
 
 from __future__ import annotations

@@ -36,6 +36,6 @@ def enable_persistent_cache(cache_dir: str = None) -> str:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Cache every program: the default 1s/small-entry filters would skip
     # exactly the many mid-sized fold programs a sweep compiles.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return cache_dir

@@ -8,7 +8,7 @@ sys.path.insert(0, os.path.abspath(".."))
 
 project = "cvmatrix_tpu"
 author = "cvmatrix_tpu developers"
-release = "0.2.0"
+release = "0.3.0"
 
 extensions = [
     "sphinx.ext.autodoc",

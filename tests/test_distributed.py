@@ -238,3 +238,19 @@ def test_sharded_programs_are_cached(mesh):
     assert D._gather_program.cache_info().hits > g0
     assert D._fold_math_program.cache_info().hits > f0
     assert red.shape == (12,)
+
+
+def test_mesh_kernel_path_f32_large_folds(mesh):
+    """f32 large folds on the mesh route through the MXU downdate path
+    (regression: they previously fell to the O(L)-step packed VPU kernel,
+    contradicting the single-chip routing parity contract)."""
+    cfg = CVConfig(True, True, True, True, 1, dtype=np.float32)
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, WEIGHTS)
+    idx = np.arange(128).reshape(4, 32)  # n_l = 32 >= LARGE_FOLD_ROWS
+    (kx, ky), _ = sharded_training_matrices(
+        cfg, st, idx, mesh=mesh, impl="pallas", interpret=True
+    )
+    (rx, ry), _ = sharded_training_matrices(cfg, st, idx, mesh=mesh,
+                                            impl="xla")
+    assert_allclose(np.asarray(kx), np.asarray(rx), rtol=1e-3, atol=1e-1)
+    assert_allclose(np.asarray(ky), np.asarray(ry), rtol=1e-3, atol=1e-1)

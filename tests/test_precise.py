@@ -183,3 +183,32 @@ def test_symmetric_contract_no_y_and_row_chunking():
     ref = np.asarray(a).T @ np.asarray(b)
     got = np.asarray(symmetric_contract(a, b, k, col_block=128))
     assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-14
+
+
+def test_symmetric_contract_weighted_column_exponents():
+    """Mirrored entries must carry position-correct column scales.
+
+    Regression: the assembly used to transpose RAW accumulator blocks and
+    scale by output position afterwards, which is wrong by
+    2^((e_a-e_b)[p] - (e_a-e_b)[q]) whenever the weighted operand's
+    per-column exponent pattern differs from the unweighted twin's —
+    adversarial weights here make mirrored entries off by 512x before
+    the fix.
+    """
+    from cvmatrix_tpu.ops.precise import symmetric_contract
+
+    rng = np.random.default_rng(7)
+    n, k, m = 400, 256, 3
+    x = rng.random((n, k))
+    # Column 0's largest |x| sits on rows whose weight is tiny, driving
+    # e_a[0] far below e_b[0] while other columns keep e_a == e_b.
+    x[:10, 0] = 1000.0
+    w = rng.random(n) + 0.5
+    w[:10] = 2.0 ** -9
+    a = x * w[:, None]                       # weighted operand (WX)
+    b = np.concatenate([x, rng.random((n, m))], axis=1)
+    got = np.asarray(symmetric_contract(
+        jnp.asarray(a), jnp.asarray(b), k, col_block=128))
+    ref = a.T @ b
+    np.testing.assert_allclose(got, ref, rtol=1e-13,
+                               atol=1e-9 * np.abs(ref).max())

@@ -183,3 +183,14 @@ def test_materialize_cv_variants(weighted, dtype, xtx_only):
     p2 = float(materialize_cv(cfg, X_ALL, Y_ALL, w, idx, **kw))
     tol = 1e-9 if dtype == np.float64 else 1e-4
     assert abs(p1 - p2) <= tol * max(1.0, abs(p1))
+
+
+def test_materialize_cv_rejects_negative_weights():
+    """The fused driver enforces the host-side weight contract (the inner
+    fit runs validate=False under jit, so the check must happen eagerly)."""
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    w = np.array(WEIGHTS, copy=True)
+    w[3] = -1.0
+    idx = np.arange(40).reshape(4, 10)
+    with pytest.raises(ValueError, match="non-negative"):
+        materialize_cv(cfg, X_ALL, Y_ALL, w, idx)
