@@ -194,3 +194,15 @@ def test_materialize_cv_rejects_negative_weights():
     idx = np.arange(40).reshape(4, 10)
     with pytest.raises(ValueError, match="non-negative"):
         materialize_cv(cfg, X_ALL, Y_ALL, w, idx)
+
+
+def test_prepare_ozaki_sources_rejects_thin_planes():
+    """Shared planes built with fewer slices than the fold budget needs."""
+    from cvmatrix_tpu.core import batch as B
+
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    st = fit(cfg, X_ALL, Y_ALL, WEIGHTS)
+    idx = np.arange(96).reshape(2, 48)
+    thin = B.dataset_planes(cfg, st, with_y=True, n_slices=3)
+    with pytest.raises(ValueError, match="slices"):
+        B.prepare_ozaki_sources(cfg, st, idx, planes=thin)
