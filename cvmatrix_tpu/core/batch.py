@@ -521,9 +521,17 @@ def prepare_loocv_sources(
 
 def loocv_f32_from_sources(config: CVConfig, src: LoocvSources,
                            rows, scal_slice=None, *, return_XTY: bool,
+                           two_per_step: bool = False,
                            interpret: bool = False):
-    """Run the f32-engine fused LOOCV kernel on prepared sources."""
-    return kernels.fused_loocv_f32(
+    """Run the f32-engine fused LOOCV kernel on prepared sources.
+
+    ``two_per_step`` routes the two-folds-per-grid-step variant (even
+    fold counts only) — halves the per-step grid overhead of the
+    store-bound f32 sweep.
+    """
+    kern = (kernels.fused_loocv_f32x2 if two_per_step
+            else kernels.fused_loocv_f32)
+    return kern(
         rows, src.total4, src.xw, src.xu, src.yu, src.yw, src.gx, src.gy,
         src.ymask, src.scal if scal_slice is None else scal_slice,
         center_xtx=config.center_X,
@@ -563,6 +571,14 @@ _SYM_KERNELS = os.environ.get("CVMATRIX_TPU_SYM_LOOCV", "0") != "0"
 
 def _sym_enabled() -> bool:
     return _SYM_KERNELS
+
+
+# Two-folds-per-grid-step f32 LOOCV kernel (same import-once contract).
+_F32X2 = os.environ.get("CVMATRIX_TPU_F32X2", "0") != "0"
+
+
+def _f32x2_enabled() -> bool:
+    return _F32X2
 
 
 def loocv_sym_tile(kp: int):

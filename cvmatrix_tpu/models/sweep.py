@@ -306,6 +306,7 @@ def _materialize_sweep_impl(
     state, idx, mask,
 ):
     from ..core.batch import (
+        _f32x2_enabled,
         _sym_enabled,
         downdate_from_operands,
         loocv_f32_from_sources,
@@ -357,6 +358,7 @@ def _materialize_sweep_impl(
                 )
             return loocv_f32_from_sources(
                 config, src, ci, sc, return_XTY=return_XTY,
+                two_per_step=_f32x2_enabled() and bs % 2 == 0,
             )
 
         shape = (bs, 2, src.kp, src.cp) if is_f64 else (bs, src.kp, src.cp)

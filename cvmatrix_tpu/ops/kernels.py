@@ -52,6 +52,7 @@ __all__ = [
     "fused_loocv_df64",
     "fused_loocv_df64_sym",
     "fused_loocv_f32",
+    "fused_loocv_f32x2",
     "fused_ozaki_downdate_df64",
     "fused_ozaki_downdate_v3",
     "fused_ozaki_downdate_v3_sym",
@@ -1657,72 +1658,18 @@ def fused_smallfold_df64_reference(
 
 
 def _f32_loocv_kernel(idx_ref, total_ref, xw_ref, xu_ref, yu_ref, yw_ref,
-                      gx_ref, gy_ref, ymask_ref, scal_ref, out_ref, *,
-                      center_xtx: bool, center_xty: bool, scale_x: bool,
-                      scale_y: bool, with_y: bool, resolution: float):
+                      gx_ref, gy_ref, ymask_ref, scal_ref, out_ref,
+                      **flags):
     """Single-precision sibling of :func:`_df64_loocv_kernel`.
 
     Reads only the hi planes of the pair-layout sources; statistics and the
     factor-form epilogue run in plain f32 (~8 flops/element — the sweep is
     HBM-store-bound). Same operand semantics, same single-tile geometry.
+    Body shared with the two-folds-per-step variant
+    (:func:`_f32_loocv2_kernel`).
     """
-    one = jnp.float32(1.0)
-    xw = xw_ref[0, 0:1, :]
-    xu = xu_ref[0, 0:1, :]
-    sw = scal_ref[0, 0, 0]
-    rsw = scal_ref[0, 0, 2]
-    rdv = scal_ref[0, 0, 4]
-
-    center = center_xtx or (with_y and center_xty)
-    scale = scale_x or (with_y and scale_y)
-    need_x_mean = center or scale_x
-    need_y_mean = with_y and (center_xty or scale_y)
-
-    def side_stats(w_row, u_row, g, need_mean, need_std):
-        m = r = None
-        if need_mean or need_std:
-            st = g[0:1, :] - w_row
-            m = st * rsw
-        if need_std:
-            ss = g[2:3, :] - w_row * u_row
-            var = (-2.0 * m * st + sw * m * m + ss) * rdv
-            sd = jnp.sqrt(jnp.maximum(var, 0.0))
-            r = jnp.where(sd <= jnp.float32(resolution), one, 1.0 / sd)
-        return m, r
-
-    mX, r1 = side_stats(xw, xu, gx_ref[:], need_x_mean, scale_x)
-    if with_y:
-        yu = yu_ref[0, 0:1, :]
-        yw = yw_ref[0, 0:1, :]
-        mY, r2 = side_stats(yw, yu, gy_ref[:], need_y_mean,
-                            with_y and scale_y)
-
-    u = xw * r1 if scale_x else xw
-    vx = xu * r1 if scale_x else xu
-    if with_y:
-        vy = yu * r2 if scale_y else yu
-        v = vx + vy  # disjoint column support
-    else:
-        v = vx
-
-    d = u[0][:, None] * v[0][None, :]
-    if center:
-        mXr = mX * r1 if scale_x else mX
-        p = mXr * sw
-        qx = mXr if center_xtx else jnp.zeros_like(mXr)
-        if with_y and center_xty:
-            q = qx + (mY * r2 if scale_y else mY)
-        else:
-            q = qx
-        d = d + p[0][:, None] * q[0][None, :]
-    t = total_ref[0]
-    if scale:
-        i1 = r1 if scale_x else jnp.ones_like(xw)
-        ym = ymask_ref[0:1, :]
-        ri2y = r2 if (with_y and scale_y) else i1
-        i2 = jnp.where(ym > 0, ri2y, i1)
-        t = t * (i1[0][:, None] * i2[0][None, :])
-    out_ref[0] = t - d
+    _f32_loocv_body(total_ref, xw_ref, xu_ref, yu_ref, yw_ref, gx_ref,
+                    gy_ref, ymask_ref, scal_ref[0, 0], out_ref, 0, **flags)
 
 
 @functools.partial(
@@ -1794,6 +1741,171 @@ def fused_loocv_f32(
         ),
         interpret=interpret,
     )(idx, total4, xw, xu, yu, yw, gx, gy, ymask, scal)
+
+
+def _f32_loocv2_kernel(idx_ref, total_ref, xw0_ref, xu0_ref, yu0_ref,
+                       yw0_ref, xw1_ref, xu1_ref, yu1_ref, yw1_ref,
+                       gx_ref, gy_ref, ymask_ref, scal_ref, out_ref,
+                       **flags):
+    """Two folds per grid step: amortises the per-step grid overhead that
+    dominates the gap between the f32 sweep (~3.0 us/fold measured) and
+    its ~2.1 us store+flop floor."""
+    for sub, (xw_r, xu_r, yu_r, yw_r) in enumerate(
+        ((xw0_ref, xu0_ref, yu0_ref, yw0_ref),
+         (xw1_ref, xu1_ref, yu1_ref, yw1_ref))
+    ):
+        _f32_loocv_body(
+            total_ref, xw_r, xu_r, yu_r, yw_r, gx_ref, gy_ref, ymask_ref,
+            scal_ref[sub, 0], out_ref, sub, **flags,
+        )
+
+
+def _f32_loocv_body(total_ref, xw_ref, xu_ref, yu_ref, yw_ref, gx_ref,
+                    gy_ref, ymask_ref, scal_row, out_ref, out_row, *,
+                    center_xtx: bool, center_xty: bool, scale_x: bool,
+                    scale_y: bool, with_y: bool, resolution: float):
+    """One fold's f32 math (shared between the 1- and 2-fold kernels)."""
+    one = jnp.float32(1.0)
+    xw = xw_ref[0, 0:1, :]
+    xu = xu_ref[0, 0:1, :]
+    sw = scal_row[0]
+    rsw = scal_row[2]
+    rdv = scal_row[4]
+
+    center = center_xtx or (with_y and center_xty)
+    scale = scale_x or (with_y and scale_y)
+    need_x_mean = center or scale_x
+    need_y_mean = with_y and (center_xty or scale_y)
+
+    def side_stats(w_row, u_row, g, need_mean, need_std):
+        m = r = None
+        if need_mean or need_std:
+            st = g[0:1, :] - w_row
+            m = st * rsw
+        if need_std:
+            ss = g[2:3, :] - w_row * u_row
+            var = (-2.0 * m * st + sw * m * m + ss) * rdv
+            sd = jnp.sqrt(jnp.maximum(var, 0.0))
+            r = jnp.where(sd <= jnp.float32(resolution), one, 1.0 / sd)
+        return m, r
+
+    mX, r1 = side_stats(xw, xu, gx_ref[:], need_x_mean, scale_x)
+    if with_y:
+        yu = yu_ref[0, 0:1, :]
+        yw = yw_ref[0, 0:1, :]
+        mY, r2 = side_stats(yw, yu, gy_ref[:], need_y_mean,
+                            with_y and scale_y)
+
+    u = xw * r1 if scale_x else xw
+    vx = xu * r1 if scale_x else xu
+    if with_y:
+        vy = yu * r2 if scale_y else yu
+        v = vx + vy  # disjoint column support
+    else:
+        v = vx
+
+    d = u[0][:, None] * v[0][None, :]
+    if center:
+        mXr = mX * r1 if scale_x else mX
+        p = mXr * sw
+        qx = mXr if center_xtx else jnp.zeros_like(mXr)
+        if with_y and center_xty:
+            q = qx + (mY * r2 if scale_y else mY)
+        else:
+            q = qx
+        d = d + p[0][:, None] * q[0][None, :]
+    t = total_ref[0]
+    if scale:
+        i1 = r1 if scale_x else jnp.ones_like(xw)
+        ym = ymask_ref[0:1, :]
+        ri2y = r2 if (with_y and scale_y) else i1
+        i2 = jnp.where(ym > 0, ri2y, i1)
+        t = t * (i1[0][:, None] * i2[0][None, :])
+    out_ref[out_row] = t - d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("center_xtx", "center_xty", "scale_x", "scale_y",
+                     "with_y", "resolution", "interpret"),
+)
+def fused_loocv_f32x2(
+    idx: jax.Array,     # (F,) int32, F EVEN: two folds per grid step
+    total4: jax.Array,  # (>=1, KP, CP); plane 0 used
+    xw: jax.Array,
+    xu: jax.Array,
+    yu: jax.Array,
+    yw: jax.Array,
+    gx: jax.Array,
+    gy: jax.Array,
+    ymask: jax.Array,
+    scal: jax.Array,    # (F, 1, 128)
+    *,
+    center_xtx: bool,
+    center_xty: bool,
+    scale_x: bool,
+    scale_y: bool,
+    with_y: bool,
+    resolution: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Two-folds-per-step sibling of :func:`fused_loocv_f32`.
+
+    Identical math and output; the (F/2,) grid halves the per-step fixed
+    cost. ``F`` must be even (sweep chunk sizes are).
+    """
+    f_folds = idx.shape[0]
+    if f_folds % 2:
+        raise ValueError(f"fused_loocv_f32x2 needs an even fold count, "
+                         f"got {f_folds}")
+    n_planes, kp, cp = total4.shape
+    if kp != cp:
+        raise ValueError(f"requires KP == CP, got ({kp},{cp})")
+    rowA = lambda f, idx_ref: (idx_ref[2 * f], f * 0, f * 0)  # noqa: E731
+    rowB = lambda f, idx_ref: (idx_ref[2 * f + 1], f * 0, f * 0)  # noqa: E731
+    c3 = lambda f, idx_ref: (f * 0, f * 0, f * 0)  # noqa: E731
+    c2 = lambda f, idx_ref: (f * 0, f * 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(f_folds // 2,),
+        in_specs=[
+            pl.BlockSpec((n_planes, kp, cp), c3),
+            pl.BlockSpec((1, 2, kp), rowA),
+            pl.BlockSpec((1, 2, kp), rowA),
+            pl.BlockSpec((1, 2, cp), rowA if with_y else c3),
+            pl.BlockSpec((1, 2, cp), rowA if with_y else c3),
+            pl.BlockSpec((1, 2, kp), rowB),
+            pl.BlockSpec((1, 2, kp), rowB),
+            pl.BlockSpec((1, 2, cp), rowB if with_y else c3),
+            pl.BlockSpec((1, 2, cp), rowB if with_y else c3),
+            pl.BlockSpec((4, kp), c2),
+            pl.BlockSpec((4, cp), c2),
+            pl.BlockSpec((1, cp), c2),
+            pl.BlockSpec((2, 1, 128),
+                         lambda f, idx_ref: (f, f * 0, f * 0)),
+        ],
+        out_specs=pl.BlockSpec((2, kp, cp),
+                               lambda f, idx_ref: (f, f * 0, f * 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _f32_loocv2_kernel,
+            center_xtx=center_xtx, center_xty=center_xty,
+            scale_x=scale_x, scale_y=scale_y, with_y=with_y,
+            resolution=resolution,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((f_folds, kp, cp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * f_folds * kp * cp,
+            bytes_accessed=f_folds * kp * cp * 4 + kp * cp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, total4, xw, xu, yu, yw, xw, xu, yu, yw, gx, gy, ymask, scal)
 
 
 # --------------------------------------------------------------------------- #

@@ -428,3 +428,31 @@ def test_ozaki_v3_sym_kernel_interpret_wiring():
             a = out[:, :, i * bt:(i + 1) * bt, j * bt:(j + 1) * bt]
             b = out[:, :, j * bt:(j + 1) * bt, i * bt:(i + 1) * bt]
             np.testing.assert_array_equal(np.swapaxes(a, 2, 3), b)
+
+
+def test_f32_loocv_x2_matches_single(flags=(True, True, True, True)):
+    """Two-folds-per-step f32 kernel == the single-fold kernel exactly
+    (identical math per fold; interpret mode compares kernel-to-kernel,
+    so FMA noise cancels)."""
+    cfg = CVConfig(*flags, ddof=1, dtype=np.float32)
+    st = fit(cfg, X_ALL.astype(np.float32), Y_ALL.astype(np.float32),
+             W_ALL.astype(np.float32))
+    idx = np.array([0, 3, 7, 11, 60, 119])[:, None]
+    src = B.prepare_loocv_sources(cfg, st, idx, presplit=False)
+    rows = jnp.asarray(idx[:, 0], jnp.int32)
+    one = np.asarray(B.loocv_f32_from_sources(
+        cfg, src, rows, return_XTY=True, interpret=True))
+    two = np.asarray(B.loocv_f32_from_sources(
+        cfg, src, rows, return_XTY=True, two_per_step=True, interpret=True))
+    np.testing.assert_array_equal(one, two)
+
+
+def test_f32_loocv_x2_rejects_odd():
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float32)
+    st = fit(cfg, X_ALL.astype(np.float32), Y_ALL.astype(np.float32))
+    idx = np.array([0, 3, 7])[:, None]
+    src = B.prepare_loocv_sources(cfg, st, idx, presplit=False)
+    with pytest.raises(ValueError, match="even"):
+        B.loocv_f32_from_sources(cfg, src, jnp.asarray(idx[:, 0], jnp.int32),
+                                 return_XTY=True, two_per_step=True,
+                                 interpret=True)

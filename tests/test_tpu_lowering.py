@@ -93,3 +93,14 @@ def test_slice_rows_kernel_lowers_for_tpu():
     pows = jnp.stack([jnp.ldexp(jnp.float32(1.0), h1),
                       jnp.ldexp(jnp.float32(1.0), e - h1)])
     _export_ok(functools.partial(KK.slice_rows, n_slices=10), hi, lo, pows)
+
+
+def test_f32x2_kernel_lowers_for_tpu():
+    cfg32 = CVConfig(True, True, True, True, ddof=1, dtype=np.float32)
+    st32 = fit(cfg32, rng.random((64, K), np.float32).astype(np.float32),
+               rng.random((64, M)).astype(np.float32))
+    idx = jnp.arange(4, dtype=jnp.int32).reshape(4, 1)
+    src = B.prepare_loocv_sources(cfg32, st32, idx, presplit=False)
+    fn = functools.partial(KK.fused_loocv_f32x2, **FLAGS)
+    _export_ok(fn, idx[:, 0], src.total4, src.xw, src.xu, src.yu, src.yw,
+               src.gx, src.gy, src.ymask, src.scal)
