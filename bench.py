@@ -31,9 +31,38 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _backend_watchdog(seconds: float):
+    """Fail fast (one JSON line, exit 3) if the device backend never
+    initialises — a dead remote-TPU tunnel otherwise hangs jax.devices()
+    forever and takes the whole benchmark run with it."""
+    import os as _os
+    import threading
+
+    ready = threading.Event()
+
+    def bail():
+        if not ready.wait(seconds):
+            print(json.dumps({
+                "metric": "benchmark_backend_unavailable",
+                "value": 0.0,
+                "unit": "folds/s",
+                "vs_baseline": 0.0,
+            }), flush=True)
+            log(f"backend did not initialise within {seconds:.0f}s "
+                "(remote tunnel down?) — aborting")
+            _os._exit(3)
+
+    threading.Thread(target=bail, daemon=True).start()
+    return ready
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    ready = _backend_watchdog(
+        float(os.environ.get("BENCH_DEVICE_TIMEOUT", 900))
+    )
 
     N = int(os.environ.get("BENCH_N", 100_000))
     K = int(os.environ.get("BENCH_K", 500))
@@ -56,6 +85,7 @@ def main():
 
     log(f"bench: N={N} K={K} M={M} P={P} dtype={np.dtype(dtype).name} "
         f"batch={batch} impl={impl} device={jax.devices()[0]}")
+    ready.set()  # backend is up; disarm the watchdog
 
     rng = np.random.default_rng(42)
     X = rng.random((N, K), dtype=np.float64).astype(dtype)
