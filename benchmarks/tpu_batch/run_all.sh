@@ -1,0 +1,28 @@
+#!/bin/bash
+# Consolidated TPU measurement batch (round 2), priority-ordered so a
+# short tunnel window captures the VERDICT-gating numbers first.
+cd /root/repo
+export PYTHONUNBUFFERED=1
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+until timeout 240 python -c "import jax; print(jax.devices())" > /tmp/r2_gate.log 2>&1; do
+  echo "tunnel still down $(date)"
+  sleep 120
+done
+echo "=== TUNNEL UP $(date)"
+
+run() { name=$1; to=$2; shift 2; echo "=== $name start $(date)"; timeout $to "$@" > /tmp/r2_$name.log 2>&1; echo "=== $name exit $? $(date)"; }
+
+run drive      900 python benchmarks/tpu_batch/drive_parity.py
+run grid_mid  3600 env BENCH_PS=1000,10000 BENCH_CONFIGS=TTTT BENCH_CSV=benchmarks/grid_tpu.csv python benchmarks/benchmark.py
+run bench     3600 python bench.py
+run sym_check 3600 python benchmarks/tpu_batch/sym_check.py
+run vpu_proof 2400 python benchmarks/vpu_bound_proof.py
+run grid_full 3600 env BENCH_PS=3,5,10,100,100000 BENCH_CONFIGS=TTTT BENCH_CSV=benchmarks/grid_tpu.csv python benchmarks/benchmark.py
+run diag_mid  2400 python benchmarks/tpu_batch/diag_mid.py
+run widek     2400 python benchmarks/widek_genomics.py
+run mesh1     2400 python benchmarks/mesh_one_chip.py
+run bench_f32 2400 env BENCH_DTYPE=float32 python bench.py
+run probe_transpose 1200 python benchmarks/tpu_batch/probe_transpose.py
+run modes     5400 env BENCH_PERSISTENT_CACHE=0 BENCH_MODES=nojit,coldjit,warmjit BENCH_PS=100,10000,100000 BENCH_CONFIGS=TTTT BENCH_CSV=benchmarks/grid_tpu.csv python benchmarks/benchmark.py
+echo "=== ALL DONE $(date)"

@@ -589,7 +589,7 @@ def loocv_sym_tile(kp: int):
     """
     if kp >= 512 and kp % 256 == 0:
         return 256
-    if kp >= 512 and kp % 128 == 0:
+    if kp >= 256 and kp % 128 == 0:
         return 128
     return None
 

@@ -290,6 +290,11 @@ def materialize_sweep(
     on_tpu = jax.default_backend() == "tpu"
     use_pairs = impl != "xla" and on_tpu and dt.itemsize == 8
     use_f32_packed = impl != "xla" and on_tpu and dt.itemsize == 4
+    if use_f32_packed and bs % 2:
+        from ..core.batch import _f32x2_enabled
+
+        if _f32x2_enabled():
+            bs += 1  # the two-folds-per-step kernel needs an even chunk
     kernel_impl = "pallas" if (use_pairs or use_f32_packed) else impl
 
     idx, mask = _pad_folds(idx, mask, bs)
@@ -531,6 +536,18 @@ def materialize_cv(
     """
     from ..utils.tracing import is_concrete
 
+    # Pre-flight the weights contract (ref :1186-1189) BEFORE any device
+    # work: the fused program runs fit(validate=False) under jit. NumPy
+    # inputs are checked host-side for free; a committed jax array costs
+    # one dependent-scalar fetch (the single-dispatch total-CV path is
+    # ~0.15 s at P=1000, so an avoidable ~30 ms tunnel round trip counts).
+    if weights is not None:
+        if not isinstance(weights, jax.Array):
+            if np.any(np.asarray(weights) < 0):
+                raise ValueError("Weights must be non-negative.")
+        elif is_concrete(weights) and bool(jnp.any(weights < 0)):
+            raise ValueError("Weights must be non-negative.")
+
     X = jnp.asarray(X, config.dtype)
     if X.ndim == 1:
         X = X.reshape(-1, 1)
@@ -538,11 +555,6 @@ def materialize_cv(
     if Yd is not None and Yd.ndim == 1:
         Yd = Yd.reshape(-1, 1)
     wd = None if weights is None else jnp.asarray(weights, config.dtype)
-    # Host-side pre-flight: the fused program runs fit(validate=False)
-    # under jit, so the negative-weights contract (ref :1186-1189) must be
-    # enforced here, like fit() / fit_sharded do.
-    if wd is not None and is_concrete(wd) and bool(jnp.any(wd < 0)):
-        raise ValueError("Weights must be non-negative.")
 
     idx = jnp.asarray(idx_batch)
     mask = None if mask_batch is None else jnp.asarray(mask_batch, config.dtype)
@@ -560,6 +572,11 @@ def materialize_cv(
     on_tpu = jax.default_backend() == "tpu"
     use_pairs = impl != "xla" and on_tpu and dt.itemsize == 8
     use_f32_packed = impl != "xla" and on_tpu and dt.itemsize == 4
+    if use_f32_packed and bs % 2:
+        from ..core.batch import _f32x2_enabled
+
+        if _f32x2_enabled():
+            bs += 1  # the two-folds-per-step kernel needs an even chunk
     kernel_impl = "pallas" if (use_pairs or use_f32_packed) else impl
 
     idx, mask = _pad_folds(idx, mask, bs)

@@ -1968,89 +1968,18 @@ def _ozaki_v3_fold_math(total, sa, sb_rev, pa, pb, gx, sxv, yvec, ymask,
     DIAGONAL of the downdate product itself. The (M-wide) Y-side vectors
     arrive precomputed in ``yvec``: [q-part pair, i2-part pair].
     """
-    sp, lp = sa.shape[0], sa.shape[1]
-    sa_flat = sa.reshape(sp * lp, sa.shape[2])
-    sb_flat = sb_rev.reshape(sp * lp, sb_rev.shape[2])
-
-    acc_h = acc_l = tail = None
-    for s in range(sp):
-        d32 = jax.lax.dot_general(
-            sa_flat[: (s + 1) * lp, :],
-            sb_flat[(sp - 1 - s) * lp:, :],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        # Exact single-f32 group sums: bounded by Sp * Lp * 65^2 < 2^24
-        # (the ozaki_v3_ok gate).
-        g = d32.astype(jnp.float32) * 2.0 ** (-float(_OZAKI_T_BITS) * (s + 2))
-        if s == 0:
-            acc_h = g
-            acc_l = jnp.zeros_like(g)
-        elif s < _V3_TAIL_START:
-            t, e = two_sum(acc_h, g)
-            acc_h = t
-            acc_l = acc_l + e
-        else:
-            tail = g if tail is None else tail + g
-    if tail is not None:
-        t, e = two_sum(acc_h, tail)
-        acc_h = t
-        acc_l = acc_l + e
-
-    pa1 = pa[0:1, :]
-    pa2 = pa[1:2, :]
-    pb1 = pb[0:1, :]
-    pb2 = pb[1:2, :]
-    d_h = acc_h * pa1.T * pb1 * pa2.T * pb2
-    d_l = acc_l * pa1.T * pb1 * pa2.T * pb2
-
-    sw = (scal_row[0], scal_row[1])
-    rsw = (scal_row[2], scal_row[3])
-    rdv = (scal_row[4], scal_row[5])
-    center = center_xtx or (with_y and center_xty)
-    scale = scale_x or (with_y and scale_y)
-    need_x_mean = center or scale_x
-
-    mX = r1 = None
-    if need_x_mean:
-        sq = None
-        if scale_x:
-            # X-block diagonal of the product = sum of Xv_w (.) Xv_u rows
-            rows = jax.lax.broadcasted_iota(jnp.int32, d_h.shape, 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, d_h.shape, 1)
-            dm = rows == cols
-            z = jnp.float32(0.0)  # literal 0.0 is weak f64 under x64
-            sq = (jnp.sum(jnp.where(dm, d_h, z), axis=0, keepdims=True),
-                  jnp.sum(jnp.where(dm, d_l, z), axis=0, keepdims=True))
-        mX, r1 = _df64_side_stats_from_sums(
-            (sxv[0:1, :], sxv[1:2, :]), sq, gx, sw, rsw, rdv,
-            need_x_mean, scale_x, resolution=resolution,
-        )
-
-    pq = None
-    if center:
-        p = df_mul(mX[0], mX[1], *sw)
-        qx = mX if center_xtx else (jnp.zeros_like(mX[0]),
-                                    jnp.zeros_like(mX[1]))
-        if with_y and center_xty:
-            q = df_add(qx[0], qx[1], yvec[0, 0:1, :], yvec[0, 1:2, :])
-        else:
-            q = qx
-        pq = (p[0][0][:, None], p[1][0][:, None],
-              q[0][0][None, :], q[1][0][None, :])
-
-    i12 = None
-    if scale:
-        ones = jnp.ones_like(d_h[0:1, :])
-        zeros = jnp.zeros_like(d_h[0:1, :])
-        i1 = r1 if scale_x else (ones, zeros)
-        i2y = (yvec[1, 0:1, :], yvec[1, 1:2, :])
-        i2 = (jnp.where(ymask > 0, i2y[0], i1[0]),
-              jnp.where(ymask > 0, i2y[1], i1[1]))
-        i12 = (i1[0][0][:, None], i1[1][0][:, None],
-               i2[0][0][None, :], i2[1][0][None, :])
-
-    return _df64_ref_epilogue_vals(total, d_h, d_l, pq, i12)
+    kp = sa.shape[2]
+    # The full math IS the single-tile (bt = Kp) instance of the tiled
+    # body — one shared implementation keeps the sym kernel's
+    # "computed tiles are bit-identical" contract structural rather than
+    # test-enforced.
+    [(_, _, oh, ol)] = _ozaki_v3_sym_tiles(
+        lambda p, i, j: total[p], sa, sb_rev, pa, pb, gx, sxv, yvec,
+        ymask, scal_row, bt=kp, center_xtx=center_xtx,
+        center_xty=center_xty, scale_x=scale_x, scale_y=scale_y,
+        with_y=with_y, resolution=resolution,
+    )
+    return oh, ol
 
 
 def _ozaki_v3_sym_tiles(total_tile, sa, sb_rev, pa, pb, gx, sxv, yvec,

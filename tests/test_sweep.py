@@ -206,3 +206,67 @@ def test_prepare_ozaki_sources_rejects_thin_planes():
     thin = B.dataset_planes(cfg, st, with_y=True, n_slices=3)
     with pytest.raises(ValueError, match="slices"):
         B.prepare_ozaki_sources(cfg, st, idx, planes=thin)
+
+
+def test_sym_knob_routes_v3_sym_kernel(monkeypatch):
+    """CVMATRIX_TPU_SYM_LOOCV routing wiring: ozaki_v3_from_sources picks
+    the sym kernel (with the right tile size) when the knob is on."""
+    from cvmatrix_tpu.core import batch as B
+    from cvmatrix_tpu.ops import kernels as KK
+
+    n, k, m = 400, 300, 5
+    rng2 = np.random.default_rng(2)
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    st = fit(cfg, rng2.random((n, k)), rng2.random((n, m)), rng2.random(n))
+    idx = np.arange(80).reshape(2, 40)
+    src = B.prepare_ozaki_sources(cfg, st, idx)
+
+    called = {}
+    real = KK.fused_ozaki_downdate_v3_sym
+
+    def spy(*a, bt, **kw):
+        called["bt"] = bt
+        return real(*a, bt=bt, **kw)
+
+    monkeypatch.setattr(B, "_SYM_KERNELS", True)
+    monkeypatch.setattr(KK, "fused_ozaki_downdate_v3_sym", spy)
+    pair = B.ozaki_v3_from_sources(cfg, src, return_XTY=True, interpret=True)
+    assert called["bt"] == B.loocv_sym_tile(src.kp) == 128
+    monkeypatch.setattr(B, "_SYM_KERNELS", False)
+    full = B.ozaki_v3_from_sources(cfg, src, return_XTY=True, interpret=True)
+    v1 = np.asarray(pair[:, 0] + pair[:, 1], dtype=np.float64)[:, :k, :k + m]
+    v2 = np.asarray(full[:, 0] + full[:, 1], dtype=np.float64)[:, :k, :k + m]
+    scale = np.max(np.abs(v2))
+    assert np.max(np.abs(v1 - v2)) / scale < 1e-5  # interpret tolerance
+
+
+def test_f32x2_knob_routes_two_per_step(monkeypatch):
+    """CVMATRIX_TPU_F32X2 routing wiring: the sweep's f32 LOOCV branch
+    passes two_per_step=True and an even chunk size when the knob is on."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.core import batch as B
+
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float32)
+    st = fit(cfg, X_ALL.astype(np.float32), Y_ALL.astype(np.float32),
+             WEIGHTS.astype(np.float32))
+    n_folds = 9  # odd: the driver must bump the chunk to even
+    idx = jnp.asarray(np.arange(n_folds)[:, None])
+
+    seen = {}
+
+    def spy(config, src, rows, scal_slice=None, *, return_XTY,
+            two_per_step=False, interpret=False):
+        seen["two"] = two_per_step
+        seen["bs"] = int(rows.shape[0])
+        f = rows.shape[0]
+        return jnp.zeros((f, src.kp, src.cp), jnp.float32)
+
+    monkeypatch.setattr(B, "_F32X2", True)
+    monkeypatch.setattr(B, "loocv_f32_from_sources", spy)
+    from cvmatrix_tpu.models.sweep import _materialize_sweep_impl, _pad_folds
+    bs = 10  # what the driver computes after the even bump of 9
+    idx_p, _ = _pad_folds(idx, None, bs)
+    _materialize_sweep_impl(cfg, bs, idx_p.shape[0] // bs, True, True,
+                            "pallas", True, st, idx_p, None)
+    assert seen["two"] is True and seen["bs"] % 2 == 0
