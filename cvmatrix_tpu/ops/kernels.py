@@ -21,6 +21,7 @@ carries the ``sum_w_train`` factor and ``inv*`` are reciprocal stds.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -1921,19 +1922,32 @@ def fused_loocv_f32x2(
 _V3_TAIL_START = 5
 
 
+# Trim-budget A/B knob (import-once, like CVMATRIX_TPU_SYM_LOOCV): the
+# default 2^-36 sits ~2 decades below the pipeline's other error sources;
+# loosening to e.g. -33 drops one product group per fold size bracket
+# (fewer MXU contractions + recombination terms) while staying well inside
+# the reference's 1e-8 contract. Flipping mid-process is ignored — routing
+# is baked at trace time; A/B runs need separate processes.
+_OZAKI_BUDGET_LOG2 = int(os.environ.get("CVMATRIX_TPU_OZAKI_BUDGET_LOG2",
+                                        "-36"))
+
+
 def ozaki_trim_groups(n_l: int, *, n_slices: int = 10,
-                      budget_log2: int = -36) -> int:
+                      budget_log2: Optional[int] = None) -> int:
     """Number of slice-product groups needed for a fold of ``n_l`` rows.
 
     Group ``s`` of the Ozaki contraction is bounded by
     ``(s+1) * Lp * 2^(-T_BITS * s)`` relative to the per-column scale
     product ``pa (x) pb``, so the tail dropped by keeping ``Sp`` groups is
     under ``1.2 * (Sp+1) * Lp * 2^(-T_BITS * Sp)``. The default budget
-    2^-36 (of the column-scale product) sits ~2 decades below the fold
+    2^-36 (of the column-scale product; override via
+    ``CVMATRIX_TPU_OZAKI_BUDGET_LOG2``) sits ~2 decades below the fold
     pipeline's other error sources (the f32-pair total representation at
     ~2^-48 relative and the double-float statistics chain) and ~3 decades
     inside the reference's 1e-8 test contract at bench scale.
     """
+    if budget_log2 is None:
+        budget_log2 = _OZAKI_BUDGET_LOG2
     lp = _round_up(max(n_l, 1), 32)
     for sp in range(2, n_slices):
         if 1.2 * (sp + 1) * lp * 2.0 ** (-_OZAKI_T_BITS * sp) \

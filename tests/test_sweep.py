@@ -240,6 +240,42 @@ def test_sym_knob_routes_v3_sym_kernel(monkeypatch):
     assert np.max(np.abs(v1 - v2)) / scale < 1e-5  # interpret tolerance
 
 
+def test_ozaki_budget_knob_trims_groups(monkeypatch):
+    """CVMATRIX_TPU_OZAKI_BUDGET_LOG2 routing: a looser trim budget drops a
+    product group end-to-end (planes are built thinner) and the v3 result
+    still matches the default-budget kernel inside the documented bound."""
+    from cvmatrix_tpu.core import batch as B
+    from cvmatrix_tpu.ops import kernels as KK
+
+    # Explicit-arg behaviour: looser budget -> fewer groups.
+    sp_default = KK.ozaki_trim_groups(40)
+    sp_loose = KK.ozaki_trim_groups(40, budget_log2=-32)
+    assert sp_loose == sp_default - 1
+
+    n, k, m = 400, 300, 5
+    rng3 = np.random.default_rng(3)
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    st = fit(cfg, rng3.random((n, k)), rng3.random((n, m)), rng3.random(n))
+    idx = np.arange(80).reshape(2, 40)
+
+    src_full = B.prepare_ozaki_sources(cfg, st, idx)
+    monkeypatch.setattr(KK, "_OZAKI_BUDGET_LOG2", -32)
+    src_trim = B.prepare_ozaki_sources(cfg, st, idx)
+    assert src_trim.saN.shape[0] == src_full.saN.shape[0] - 1
+
+    out_trim = B.ozaki_v3_from_sources(cfg, src_trim, return_XTY=True,
+                                       interpret=True)
+    monkeypatch.setattr(KK, "_OZAKI_BUDGET_LOG2", -36)
+    out_full = B.ozaki_v3_from_sources(cfg, src_full, return_XTY=True,
+                                       interpret=True)
+    v1 = np.asarray(out_trim[:, 0] + out_trim[:, 1], np.float64)[:, :k, :k + m]
+    v2 = np.asarray(out_full[:, 0] + out_full[:, 1], np.float64)[:, :k, :k + m]
+    scale = np.max(np.abs(v2))
+    # trim delta bound 2^-32 of the column-scale product; interpret-mode
+    # f32-faithfulness slack dominates (see tpu-env notes in tests README)
+    assert np.max(np.abs(v1 - v2)) / scale < 1e-5
+
+
 def test_f32x2_knob_routes_two_per_step(monkeypatch):
     """CVMATRIX_TPU_F32X2 routing wiring: the sweep's f32 LOOCV branch
     passes two_per_step=True and an even chunk size when the knob is on."""
