@@ -14,6 +14,7 @@ CSV. Environment knobs are reference-compatible:
   BENCH_DTYPE ("float64")
   BENCH_CSV ("benchmark_results.csv")
   BENCH_MODES ("warmjit" | "nojit,coldjit,warmjit")
+  BENCH_PLATFORM (unset = default device; "cpu" pins the host backend)
 
 Additional TPU-native measurements (no reference equivalent):
   - per-phase timing (fit vs folds) and folds/s
@@ -215,6 +216,12 @@ def run_naive(cfg_flags, P, X, Y, weights):
 
 def main():
     import jax
+
+    # BENCH_PLATFORM=cpu pins the backend for host-only comparison rows
+    # (the JAX_PLATFORMS env var is unreliable when a PJRT plugin site
+    # hook preregisters a device platform; the config call is not).
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
     from cvmatrix_tpu import __version__
     from cvmatrix_tpu.utils import enable_persistent_cache
