@@ -262,7 +262,10 @@ def training_matrices_from_blocks(
     # gathered rows), split into the XTX / XTY downdates.
     if return_XTX and return_XTY:
         m2 = jnp.concatenate([blocks.Xv_u, blocks.Yv_u], axis=1)
-        prod = contract(blocks.Xv_w, m2, mode=config.matmul_mode)
+        # The leading (K, K) downdate block is sum w x x^T — symmetric, so
+        # wide-K exact contractions ride the SYRK route like the fit's.
+        prod = contract(blocks.Xv_w, m2, mode=config.matmul_mode,
+                        symmetric_k=blocks.Xv_u.shape[1])
         k = blocks.Xv_u.shape[1]
         xtx = _apply_epilogue(
             state.XTX - prod[:, :k],
@@ -284,7 +287,8 @@ def training_matrices_from_blocks(
         )
         return (xtx, xty), stats
     if return_XTX:
-        prod = contract(blocks.Xv_w, blocks.Xv_u, mode=config.matmul_mode)
+        prod = contract(blocks.Xv_w, blocks.Xv_u, mode=config.matmul_mode,
+                        symmetric_k=blocks.Xv_u.shape[1])
         xtx = _apply_epilogue(
             state.XTX - prod,
             X_mean,

@@ -424,6 +424,12 @@ def _use_exact(mode: str, dtype) -> bool:
     )
 
 
+# Minimum symmetric-block width for the SYRK route: below ~2048 there is a
+# single column block and mirroring saves nothing (module constant so tests
+# can lower it and drive the route at test scale).
+_SYRK_MIN_K = 2048
+
+
 def contract(
     a: jax.Array,
     b: jax.Array,
@@ -445,7 +451,7 @@ def contract(
     if _use_exact(mode, a.dtype):
         if a.shape[0] <= small_n_threshold:
             return outer_accumulate_contract(a, b)
-        if symmetric_k is not None and symmetric_k >= 2048:
+        if symmetric_k is not None and symmetric_k >= _SYRK_MIN_K:
             # Wide k is MXU-bound; skipping the lower-triangular column
             # block pairs saves (B-1)/2B of the MXU work.
             return symmetric_contract(a, b, symmetric_k)

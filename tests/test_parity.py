@@ -203,3 +203,37 @@ def test_exact_matmul_mode_matches_native_on_cpu():
         (nx, ny), _ = native.training_XTX_XTY(vi)
         assert_allclose(np.asarray(ex), np.asarray(nx), rtol=1e-12, atol=1e-12)
         assert_allclose(np.asarray(ey), np.asarray(ny), rtol=1e-12, atol=1e-12)
+
+
+def test_fold_syrk_route_matches_native(monkeypatch):
+    """Wide-K fold downdates ride the SYRK contraction (like the fit); with
+    the width gate lowered to test scale, the routed result still matches
+    native f64 and the route is actually taken."""
+    from cvmatrix_tpu.ops import precise as PR
+
+    calls = {"n": 0}
+    real = PR.symmetric_contract
+
+    def spy(a, b, k, **kw):
+        calls["n"] += 1
+        return real(a, b, k, **kw)
+
+    monkeypatch.setattr(PR, "_SYRK_MIN_K", 4)
+    monkeypatch.setattr(PR, "symmetric_contract", spy)
+    X, Y = X_ALL[:80, :6], Y_ALL[:80]
+    p = Partitioner(FOLDS[:80])
+    exact = CVMatrix(matmul_mode="exact").fit(X, Y, WEIGHTS[:80])
+    native = CVMatrix(matmul_mode="native").fit(X, Y, WEIGHTS[:80])
+    fold = next(iter(p.folds_dict))
+    vi = p.get_validation_indices(fold)
+    (ex, ey), _ = exact.training_XTX_XTY(vi)
+    (nx, ny), _ = native.training_XTX_XTY(vi)
+    assert calls["n"] >= 1  # fold downdate routed through SYRK
+    assert_allclose(np.asarray(ex), np.asarray(nx), rtol=1e-12, atol=1e-12)
+    assert_allclose(np.asarray(ey), np.asarray(ny), rtol=1e-12, atol=1e-12)
+    ex = np.asarray(ex)
+    assert_allclose(ex, ex.T, rtol=0, atol=1e-12)  # mirrored block coherent
+
+    xtx_only, _ = exact.training_XTX(vi)
+    nxtx, _ = native.training_XTX(vi)
+    assert_allclose(np.asarray(xtx_only), nxtx, rtol=1e-12, atol=1e-12)
