@@ -15,6 +15,7 @@ import glob
 import os
 import re
 import sys
+import time
 
 NOISE = re.compile(
     r"^(WARNING:|I\d{4}|E\d{4}|.*xla_bridge.*experimental"
@@ -50,10 +51,11 @@ def main() -> None:
         name = os.path.basename(path)[len(tag) + 1:-4]
         if name in ("gate",):
             continue
-        mtime = os.path.getmtime(path)
+        stamp = time.strftime("%Y-%m-%d %H:%M UTC",
+                              time.gmtime(os.path.getmtime(path)))
         body = distill(path)
         parts.append(f"## {name}\n\n```\n{body}\n```\n")
-        parts.append(f"_log mtime: {mtime:.0f}_\n")
+        parts.append(f"_log mtime: {stamp}_\n")
     with open(out_path, "w") as f:
         f.write("\n".join(parts))
     print(f"wrote {out_path} from {len(logs)} logs")

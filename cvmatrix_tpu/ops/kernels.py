@@ -1923,11 +1923,13 @@ _V3_TAIL_START = 5
 
 
 # Trim-budget A/B knob (import-once, like CVMATRIX_TPU_SYM_LOOCV): the
-# default 2^-36 sits ~2 decades below the pipeline's other error sources;
-# loosening to e.g. -33 drops one product group per fold size bracket
-# (fewer MXU contractions + recombination terms) while staying well inside
-# the reference's 1e-8 contract. Flipping mid-process is ignored — routing
-# is baked at trace time; A/B runs need separate processes.
+# default 2^-36 sits ~2 decades below the pipeline's other error sources.
+# The budget needed to drop a product group depends on the fold bracket
+# (error bound scales with Lp): -33 sheds one group at Lp=32 (P=10000 at
+# bench N), -31 at Lp=128 (P=1000) as well — still inside the reference's
+# 1e-8 contract at bench scale (~2e-9 absolute). Flipping mid-process is
+# ignored — routing is baked at trace time; A/B runs need separate
+# processes.
 _OZAKI_BUDGET_LOG2 = int(os.environ.get("CVMATRIX_TPU_OZAKI_BUDGET_LOG2",
                                         "-36"))
 
