@@ -21,6 +21,9 @@ run vpu_proof 2400 python benchmarks/vpu_bound_proof.py
 run grid_full 3600 env BENCH_PS=3,5,10,100,100000 BENCH_CONFIGS=TTTT BENCH_CSV=benchmarks/grid_tpu.csv python benchmarks/benchmark.py
 run diag_mid  2400 python benchmarks/tpu_batch/diag_mid.py
 run widek     2400 python benchmarks/widek_genomics.py
+# SYRK A/B for the wide-K batched downdate (separate process: import-once
+# knob). Compare the folds phase against the plain widek step above.
+run widek_syrk 2400 env CVMATRIX_TPU_BATCH_SYRK=1 python benchmarks/widek_genomics.py
 run mesh1     2400 python benchmarks/mesh_one_chip.py
 run bench_f32 2400 env BENCH_DTYPE=float32 python bench.py
 run probe_transpose 1200 python benchmarks/tpu_batch/probe_transpose.py

@@ -576,6 +576,10 @@ def _sym_enabled() -> bool:
 # Two-folds-per-grid-step f32 LOOCV kernel (same import-once contract).
 _F32X2 = os.environ.get("CVMATRIX_TPU_F32X2", "0") != "0"
 
+# SYRK route for the wide-K batched downdate product (same import-once
+# contract; see _large_fold_pallas_path).
+_BATCH_SYRK = os.environ.get("CVMATRIX_TPU_BATCH_SYRK", "0") != "0"
+
 
 def _f32x2_enabled() -> bool:
     return _F32X2
@@ -960,9 +964,30 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
         sa, pa = jax.vmap(row_slice_operands)(xvp)
         sb, pb = jax.vmap(row_slice_operands)(m2p)
     else:
-        prod64 = jax.vmap(
-            lambda a, b: contract(a, b, mode=config.matmul_mode)
-        )(xvp, m2p)
+        from ..ops import precise as _precise
+
+        # Opt-in SYRK for the wide-K batched downdate: the UNPADDED
+        # operands keep the leading k block symmetric (the padded twins
+        # below mix Y columns into it), so the mirrored contraction skips
+        # ~45% of the per-fold MXU work; the price is padding the (kp, cp)
+        # product afterwards — one extra fused output write per fold.
+        # Off by default until the widek A/B weighs write vs MXU savings.
+        use_syrk = (
+            _BATCH_SYRK and return_XTX
+            and _use_exact(config.matmul_mode, jnp.float64)
+            and k >= _precise._SYRK_MIN_K
+        )
+        if use_syrk:
+            prod_t = jax.vmap(
+                lambda a, b: contract(a, b, mode=config.matmul_mode,
+                                      symmetric_k=k)
+            )(blocks.Xv_w.astype(f64), m2.astype(f64))
+            prod64 = jnp.zeros(
+                (f_folds, kp, cp), f64).at[:, :k, :c].set(prod_t)
+        else:
+            prod64 = jax.vmap(
+                lambda a, b: contract(a, b, mode=config.matmul_mode)
+            )(xvp, m2p)
         prod_hi, prod_lo = df_from_f64(prod64)
 
     kvec = jnp.zeros((f_folds, 2, 2, kp), jnp.float32)

@@ -131,6 +131,39 @@ def test_f32_packed_small_folds(interpret_pallas, flags):
     assert raw.ndim == 3 and raw.shape[1] % 128 == 0
 
 
+def test_batch_syrk_knob_routes_and_matches(interpret_pallas, monkeypatch):
+    """CVMATRIX_TPU_BATCH_SYRK routing: the wide-K (non-fused) batched
+    downdate takes the SYRK contraction when the knob is on, and the padded
+    product matches the full-contraction route."""
+    from cvmatrix_tpu.core import batch as B
+    from cvmatrix_tpu.ops import precise as PR
+
+    calls = {"n": 0}
+    real = PR.symmetric_contract
+
+    def spy(a, b, k, **kw):
+        calls["n"] += 1
+        return real(a, b, k, **kw)
+
+    monkeypatch.setattr(PR, "_SYRK_MIN_K", 4)
+    monkeypatch.setattr(PR, "symmetric_contract", spy)
+    rng = np.random.default_rng(5)
+    # m >> k makes cp > kp, defeating the all-in-one fused kernel so the
+    # split MXU-product branch (the one the knob routes) runs.
+    X, Y, w = rng.random((200, 6)), rng.random((200, 130)), rng.random(200)
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64,
+                   matmul_mode="exact")
+    p = Partitioner(FOLDS)
+    keys, idx, mask = p.padded_batches()
+    st = fit(cfg, X, Y, w)
+    base = training_matrices_batched(cfg, st, idx, mask, impl="pallas")
+    n0 = calls["n"]  # fit routes through SYRK too; count only the sweep
+    monkeypatch.setattr(B, "_BATCH_SYRK", True)
+    got = training_matrices_batched(cfg, st, idx, mask, impl="pallas")
+    assert calls["n"] > n0
+    _assert_close(base, got, 1e-10)
+
+
 def test_batch_errors():
     cfg = CVConfig(dtype=np.float64)
     st = fit(cfg, X_ALL, Y_ALL, WEIGHTS)
