@@ -104,3 +104,15 @@ def test_f32x2_kernel_lowers_for_tpu():
     fn = functools.partial(KK.fused_loocv_f32x2, **FLAGS)
     _export_ok(fn, idx[:, 0], src.total4, src.xw, src.xu, src.yu, src.yw,
                src.gx, src.gy, src.ymask, src.scal)
+
+
+def test_syrk_contraction_lowers_for_tpu():
+    """The SYRK (mirrored) exact contraction is pure XLA, but its f64
+    scale/slice helpers must survive the TPU x64 rewriter (which rejects
+    s64 bitcast tricks); k=4096 gives two column blocks so the mirrored
+    assembly path is in the exported module."""
+    from cvmatrix_tpu.ops.precise import symmetric_contract
+
+    a = jnp.asarray(rng.random((64, 4096)))
+    b = jnp.asarray(rng.random((64, 4101)))
+    _export_ok(lambda a_, b_: symmetric_contract(a_, b_, 4096), a, b)
