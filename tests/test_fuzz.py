@@ -114,6 +114,36 @@ def test_random_scenarios_match_oracle(case):
     _check_folds(fast, naive, p, msg)
 
 
+@pytest.mark.parametrize("case", range(8))
+def test_random_scenarios_batched_engine(case):
+    """The padded/masked batched engine on random uneven fold layouts must
+    match the eager per-fold engine exactly-ish (same arithmetic modulo
+    batching): random sizes exercise the zero-pad + mask math beyond the
+    fixed lattice suites."""
+    from cvmatrix_tpu.core.batch import training_matrices_batched
+    from cvmatrix_tpu.core.fit import fit as fit_fn
+    from cvmatrix_tpu.config import CVConfig
+
+    rng = np.random.default_rng(SEED + 1000 + case)
+    X, Y, w, labels, flags, ddof = _scenario(rng)
+    if Y is None:
+        Y = rng.standard_normal((X.shape[0], 2))  # batched path needs Y here
+    p = Partitioner(labels)
+    keys, idx, mask = p.padded_batches()
+    cfg = CVConfig(*flags, ddof=ddof, dtype=np.float64)
+    st = fit_fn(cfg, X, Y, w)
+    (bx, by), _ = training_matrices_batched(cfg, st, idx, mask, impl="xla")
+    fast = CVMatrix(*flags, ddof).fit(X, Y, w)
+    for i, key in enumerate(keys):
+        vi = p.get_validation_indices(key)
+        (ex, ey), _ = fast.training_XTX_XTY(vi)
+        scale = max(1.0, float(np.abs(np.asarray(ex)).max()))
+        assert_allclose(np.asarray(bx)[i], np.asarray(ex),
+                        atol=1e-10 * scale, err_msg=f"case={case} fold={key}")
+        assert_allclose(np.asarray(by)[i], np.asarray(ey),
+                        atol=1e-10 * scale, err_msg=f"case={case} fold={key}")
+
+
 def test_fuzz_float32_grade():
     """One f32 scenario: same pipeline, dtype-scaled tolerance (the 1e-8
     contract is f64-only; f32 holds ~1e-3 at these condition numbers)."""
