@@ -26,6 +26,10 @@ run widek     2400 python benchmarks/widek_genomics.py
 run widek_syrk 2400 env CVMATRIX_TPU_BATCH_SYRK=1 python benchmarks/widek_genomics.py
 run mesh1     2400 python benchmarks/mesh_one_chip.py
 run bench_f32 2400 env BENCH_DTYPE=float32 python bench.py
+# Two-folds-per-step df64 LOOCV A/B (separate process, import-once knob):
+# pays only if the fold loop is partly step-overhead-bound; compare the
+# folds phase + folds/s against the bench/grid LOOCV rows.
+run bench_df64x2 2400 env CVMATRIX_TPU_DF64X2=1 python bench.py
 run probe_transpose 1200 python benchmarks/tpu_batch/probe_transpose.py
 # Ozaki trim-budget A/B (separate process: the knob is import-once).
 # Budget -31 is the loosest setting that still holds the 1e-8 contract at

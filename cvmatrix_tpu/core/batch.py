@@ -546,9 +546,16 @@ def loocv_f32_from_sources(config: CVConfig, src: LoocvSources,
 
 def loocv_from_sources(config: CVConfig, src: LoocvSources,
                        rows, scal_slice=None, *, return_XTY: bool,
+                       two_per_step: bool = False,
                        interpret: bool = False):
-    """Run the fused LOOCV kernel on (a slice of) prepared sources."""
-    return kernels.fused_loocv_df64(
+    """Run the fused LOOCV kernel on (a slice of) prepared sources.
+
+    ``two_per_step`` routes the two-folds-per-grid-step variant (even
+    fold counts only) — identical math, half the per-step grid overhead.
+    """
+    kern = (kernels.fused_loocv_df64x2 if two_per_step
+            else kernels.fused_loocv_df64)
+    return kern(
         rows, src.total4, src.xw, src.xu, src.yu, src.yw, src.gx, src.gy,
         src.ymask, src.scal if scal_slice is None else scal_slice,
         center_xtx=config.center_X,
@@ -576,6 +583,11 @@ def _sym_enabled() -> bool:
 # Two-folds-per-grid-step f32 LOOCV kernel (same import-once contract).
 _F32X2 = os.environ.get("CVMATRIX_TPU_F32X2", "0") != "0"
 
+# Two-folds-per-step df64 LOOCV kernel. Only pays if the TTTT fold loop is
+# partly step-overhead-bound (the VPU proof / sym A/B decide); when both
+# this and CVMATRIX_TPU_SYM_LOOCV are on, sym wins the route.
+_DF64X2 = os.environ.get("CVMATRIX_TPU_DF64X2", "0") != "0"
+
 # SYRK route for the wide-K batched downdate product (same import-once
 # contract; see _large_fold_pallas_path).
 _BATCH_SYRK = os.environ.get("CVMATRIX_TPU_BATCH_SYRK", "0") != "0"
@@ -583,6 +595,10 @@ _BATCH_SYRK = os.environ.get("CVMATRIX_TPU_BATCH_SYRK", "0") != "0"
 
 def _f32x2_enabled() -> bool:
     return _F32X2
+
+
+def _df64x2_enabled() -> bool:
+    return _DF64X2
 
 
 def loocv_sym_tile(kp: int):

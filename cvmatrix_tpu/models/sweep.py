@@ -290,11 +290,12 @@ def materialize_sweep(
     on_tpu = jax.default_backend() == "tpu"
     use_pairs = impl != "xla" and on_tpu and dt.itemsize == 8
     use_f32_packed = impl != "xla" and on_tpu and dt.itemsize == 4
-    if use_f32_packed and bs % 2:
-        from ..core.batch import _f32x2_enabled
+    if bs % 2 and (use_f32_packed or use_pairs):
+        from ..core.batch import _df64x2_enabled, _f32x2_enabled
 
-        if _f32x2_enabled():
-            bs += 1  # the two-folds-per-step kernel needs an even chunk
+        if (use_f32_packed and _f32x2_enabled()) or (
+                use_pairs and _df64x2_enabled()):
+            bs += 1  # the two-folds-per-step kernels need an even chunk
     kernel_impl = "pallas" if (use_pairs or use_f32_packed) else impl
 
     idx, mask = _pad_folds(idx, mask, bs)
@@ -311,6 +312,7 @@ def _materialize_sweep_impl(
     state, idx, mask,
 ):
     from ..core.batch import (
+        _df64x2_enabled,
         _f32x2_enabled,
         _sym_enabled,
         downdate_from_operands,
@@ -360,6 +362,7 @@ def _materialize_sweep_impl(
             if is_f64:
                 return loocv_from_sources(
                     config, src, ci, sc, return_XTY=return_XTY,
+                    two_per_step=_df64x2_enabled() and bs % 2 == 0,
                 )
             return loocv_f32_from_sources(
                 config, src, ci, sc, return_XTY=return_XTY,
@@ -572,11 +575,12 @@ def materialize_cv(
     on_tpu = jax.default_backend() == "tpu"
     use_pairs = impl != "xla" and on_tpu and dt.itemsize == 8
     use_f32_packed = impl != "xla" and on_tpu and dt.itemsize == 4
-    if use_f32_packed and bs % 2:
-        from ..core.batch import _f32x2_enabled
+    if bs % 2 and (use_f32_packed or use_pairs):
+        from ..core.batch import _df64x2_enabled, _f32x2_enabled
 
-        if _f32x2_enabled():
-            bs += 1  # the two-folds-per-step kernel needs an even chunk
+        if (use_f32_packed and _f32x2_enabled()) or (
+                use_pairs and _df64x2_enabled()):
+            bs += 1  # the two-folds-per-step kernels need an even chunk
     kernel_impl = "pallas" if (use_pairs or use_f32_packed) else impl
 
     idx, mask = _pad_folds(idx, mask, bs)

@@ -52,6 +52,7 @@ __all__ = [
     "fused_epilogue_df64",
     "fused_loocv_df64",
     "fused_loocv_df64_sym",
+    "fused_loocv_df64x2",
     "fused_loocv_f32",
     "fused_loocv_f32x2",
     "fused_ozaki_downdate_df64",
@@ -960,6 +961,126 @@ def fused_loocv_df64(
         ),
         interpret=interpret,
     )(idx, total4, xw, xu, yu, yw, gx, gy, ymask, scal)
+
+
+def _df64_loocv2_kernel(idx_ref, total_ref, xw0_ref, xu0_ref, yu0_ref,
+                        yw0_ref, xw1_ref, xu1_ref, yu1_ref, yw1_ref,
+                        gx_ref, gy_ref, ymask_ref, scal_ref, out_ref, *,
+                        with_y: bool, **flags):
+    """Two folds per grid step (df64 sibling of :func:`_f32_loocv2_kernel`):
+    amortises the per-step grid fixed cost across two folds. Same math as
+    :func:`_df64_loocv_kernel` — the body is shared."""
+    for sub, (xw_r, xu_r, yu_r, yw_r) in enumerate(
+        ((xw0_ref, xu0_ref, yu0_ref, yw0_ref),
+         (xw1_ref, xu1_ref, yu1_ref, yw1_ref))
+    ):
+        if with_y:
+            yu_h, yu_l = yu_r[0, 0:1, :], yu_r[0, 1:2, :]
+            yw_h, yw_l = yw_r[0, 0:1, :], yw_r[0, 1:2, :]
+        else:
+            yu_h = yu_l = yw_h = yw_l = None
+        oh, ol = _loocv_fold_math(
+            total_ref,
+            xw_r[0, 0:1, :], xw_r[0, 1:2, :],
+            xu_r[0, 0:1, :], xu_r[0, 1:2, :],
+            yu_h, yu_l, yw_h, yw_l,
+            gx_ref[:], gy_ref[:], ymask_ref[0:1, :], scal_ref[sub, 0],
+            with_y=with_y, **flags,
+        )
+        out_ref[sub, 0] = oh
+        out_ref[sub, 1] = ol
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("center_xtx", "center_xty", "scale_x", "scale_y",
+                     "with_y", "resolution", "interpret"),
+)
+def fused_loocv_df64x2(
+    idx: jax.Array,     # (F,) int32, F EVEN: two folds per grid step
+    total4: jax.Array,  # (4 or 2, KP, CP) total pair planes, KP == CP
+    xw: jax.Array,
+    xu: jax.Array,
+    yu: jax.Array,
+    yw: jax.Array,
+    gx: jax.Array,
+    gy: jax.Array,
+    ymask: jax.Array,
+    scal: jax.Array,    # (F, 1, 128)
+    *,
+    center_xtx: bool,
+    center_xty: bool,
+    scale_x: bool,
+    scale_y: bool,
+    with_y: bool,
+    resolution: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Two-folds-per-step sibling of :func:`fused_loocv_df64`.
+
+    Identical math and (F, 2, KP, CP) output; the (F/2,) grid halves the
+    per-step fixed cost. Worth it only if the TTTT fold loop is partly
+    step-overhead-bound rather than purely VPU-issue-bound — the A/B knob
+    ``CVMATRIX_TPU_DF64X2`` exists to measure exactly that. ``F`` must be
+    even (sweep chunk sizes are bumped even when the knob is on).
+    """
+    f_folds = idx.shape[0]
+    if f_folds % 2:
+        raise ValueError(f"fused_loocv_df64x2 needs an even fold count, "
+                         f"got {f_folds}")
+    n_planes, kp, cp = total4.shape
+    if kp != cp:
+        raise ValueError(f"requires KP == CP, got ({kp},{cp})")
+    rowA = lambda f, idx_ref: (idx_ref[2 * f], f * 0, f * 0)  # noqa: E731
+    rowB = lambda f, idx_ref: (idx_ref[2 * f + 1], f * 0, f * 0)  # noqa: E731
+    c3 = lambda f, idx_ref: (f * 0, f * 0, f * 0)  # noqa: E731
+    c2 = lambda f, idx_ref: (f * 0, f * 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(f_folds // 2,),
+        in_specs=[
+            pl.BlockSpec((n_planes, kp, cp), c3),
+            pl.BlockSpec((1, 2, kp), rowA),
+            pl.BlockSpec((1, 2, kp), rowA),
+            pl.BlockSpec((1, 2, cp), rowA if with_y else c3),
+            pl.BlockSpec((1, 2, cp), rowA if with_y else c3),
+            pl.BlockSpec((1, 2, kp), rowB),
+            pl.BlockSpec((1, 2, kp), rowB),
+            pl.BlockSpec((1, 2, cp), rowB if with_y else c3),
+            pl.BlockSpec((1, 2, cp), rowB if with_y else c3),
+            pl.BlockSpec((4, kp), c2),
+            pl.BlockSpec((4, cp), c2),
+            pl.BlockSpec((1, cp), c2),
+            pl.BlockSpec((2, 1, 128),
+                         lambda f, idx_ref: (f, f * 0, f * 0)),
+        ],
+        out_specs=pl.BlockSpec((2, 2, kp, cp),
+                               lambda f, idx_ref: (f, f * 0, f * 0, f * 0)),
+    )
+    scale = scale_x or (with_y and scale_y)
+    return pl.pallas_call(
+        functools.partial(
+            _df64_loocv2_kernel,
+            center_xtx=center_xtx, center_xty=center_xty,
+            scale_x=scale_x, scale_y=scale_y, with_y=with_y,
+            presplit_total=(n_planes == 4), resolution=resolution,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((f_folds, 2, kp, cp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(34 + (17 if (center_xtx or center_xty) else 0)
+                   + (32 if scale else 0)) * f_folds * kp * cp,
+            bytes_accessed=(
+                f_folds * kp * cp * 8 + kp * cp * 4 * n_planes
+                + f_folds * (4 * kp + 2 * cp) * 4 * 2
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, total4, xw, xu, yu, yw, xw, xu, yu, yw, gx, gy, ymask, scal)
 
 
 # --------------------------------------------------------------------------- #

@@ -456,3 +456,22 @@ def test_f32_loocv_x2_rejects_odd():
         B.loocv_f32_from_sources(cfg, src, jnp.asarray(idx[:, 0], jnp.int32),
                                  return_XTY=True, two_per_step=True,
                                  interpret=True)
+
+
+def test_df64x2_kernel_interpret_matches_single():
+    """Two-folds-per-step df64 kernel vs the single-fold kernel, both in
+    interpret mode: the fold body is shared, so the outputs must be
+    BIT-identical (same op sequence per fold, only the grid differs)."""
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    st = fit(cfg, X_ALL, Y_ALL, W_ALL)
+    src = B.prepare_loocv_sources(cfg, st, IDX, return_XTX=True,
+                                  return_XTY=True)
+    rows = jnp.asarray(IDX[:, 0], jnp.int32)  # 6 folds: even
+    one = B.loocv_from_sources(cfg, src, rows, return_XTY=True,
+                               interpret=True)
+    two = B.loocv_from_sources(cfg, src, rows, return_XTY=True,
+                               two_per_step=True, interpret=True)
+    assert np.array_equal(np.asarray(one), np.asarray(two))
+    with pytest.raises(ValueError, match="even"):
+        B.loocv_from_sources(cfg, src, rows[:3], return_XTY=True,
+                             two_per_step=True, interpret=True)

@@ -240,6 +240,37 @@ def test_sym_knob_routes_v3_sym_kernel(monkeypatch):
     assert np.max(np.abs(v1 - v2)) / scale < 1e-5  # interpret tolerance
 
 
+def test_df64x2_knob_routes_two_per_step(monkeypatch):
+    """CVMATRIX_TPU_DF64X2 routing wiring: the sweep's df64 LOOCV branch
+    passes two_per_step=True (even chunk) when the knob is on."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.core import batch as B
+
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    st = fit(cfg, X_ALL, Y_ALL, WEIGHTS)
+    n_folds = 9  # odd: the driver must bump the chunk to even
+    idx = jnp.asarray(np.arange(n_folds)[:, None])
+
+    seen = {}
+
+    def spy(config, src, rows, scal_slice=None, *, return_XTY,
+            two_per_step=False, interpret=False):
+        seen["two"] = two_per_step
+        seen["bs"] = int(rows.shape[0])
+        f = rows.shape[0]
+        return jnp.zeros((f, 2, src.kp, src.cp), jnp.float32)
+
+    monkeypatch.setattr(B, "_DF64X2", True)
+    monkeypatch.setattr(B, "loocv_from_sources", spy)
+    from cvmatrix_tpu.models.sweep import _materialize_sweep_impl, _pad_folds
+    bs = 10  # what the driver computes after the even bump of 9
+    idx_p, _ = _pad_folds(idx, None, bs)
+    _materialize_sweep_impl(cfg, bs, idx_p.shape[0] // bs, True, True,
+                            "pallas", True, st, idx_p, None)
+    assert seen["two"] is True and seen["bs"] % 2 == 0
+
+
 def test_ozaki_budget_knob_trims_groups(monkeypatch):
     """CVMATRIX_TPU_OZAKI_BUDGET_LOG2 routing: a looser trim budget drops a
     product group end-to-end (planes are built thinner) and the v3 result

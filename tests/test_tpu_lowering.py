@@ -116,3 +116,11 @@ def test_syrk_contraction_lowers_for_tpu():
     a = jnp.asarray(rng.random((64, 4096)))
     b = jnp.asarray(rng.random((64, 4101)))
     _export_ok(lambda a_, b_: symmetric_contract(a_, b_, 4096), a, b)
+
+
+def test_df64x2_kernel_lowers_for_tpu():
+    idx = jnp.arange(4, dtype=jnp.int32).reshape(4, 1)
+    src = B.prepare_loocv_sources(CFG, ST, idx, presplit=True)
+    fn = functools.partial(KK.fused_loocv_df64x2, **FLAGS)
+    _export_ok(fn, idx[:, 0], src.total4, src.xw, src.xu, src.yu, src.yw,
+               src.gx, src.gy, src.ymask, src.scal)
