@@ -92,6 +92,11 @@ def main() -> None:
             [sys.executable, os.path.abspath(__file__), f"--worker={n_dev}"],
             env=env, capture_output=True, text=True, timeout=900,
         )
+        if out.returncode != 0 or not out.stdout.strip():
+            raise RuntimeError(
+                f"worker n_dev={n_dev} failed (rc={out.returncode});"
+                f" stderr:\n{out.stderr[-4000:]}"
+            )
         line = out.stdout.strip().splitlines()[-1]
         rows.append(json.loads(line))
         print(f"n_dev={rows[-1]['n_dev']} folds/s={rows[-1]['folds_per_sec']:.0f}")

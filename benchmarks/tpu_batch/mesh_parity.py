@@ -1,0 +1,88 @@
+"""On-chip mesh kernel-path parity at the 1e-8 contract.
+
+VERDICT round-2 weak #5: the multichip dryrun asserts the Pallas mesh
+route only at 1e-2 in interpret mode (a wiring check). This script closes
+the numerical gap on real hardware: it runs ``sharded_training_matrices``
+(impl="auto" — the fused Pallas fold kernels, fold-sharded over a
+mesh-of-one on the real chip) and compares EVERY fold's XTX/XTY against
+the eager single-fold path at 1e-8, f64, weighted TTTT (the strictest
+published contract; reference tolerance model: ref
+``tests/test_cvmatrix.py`` uses allclose at ~1e-8 on f64).
+
+Writes benchmarks/mesh_parity_tpu.json.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    if not os.environ.get("ALLOW_CPU"):  # CPU smoke-test escape hatch
+        assert jax.devices()[0].platform != "cpu", jax.devices()
+
+    from cvmatrix_tpu import CVConfig, CVMatrix, Partitioner, fit
+    from cvmatrix_tpu.parallel.distributed import (
+        make_mesh,
+        sharded_training_matrices,
+    )
+
+    N = int(os.environ.get("BENCH_N", 4096))
+    K = int(os.environ.get("BENCH_K", 100))
+    M = int(os.environ.get("BENCH_M", 5))
+    P = int(os.environ.get("BENCH_PS", "16"))
+
+    rng = np.random.default_rng(7)
+    X = rng.random((N, K))
+    Y = rng.random((N, M))
+    w = rng.random(N)
+    folds = np.arange(N) % P
+
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    state = fit(cfg, X, Y, w, validate=False)
+    part = Partitioner(folds)
+    idx = np.stack([np.asarray(part.get_validation_indices(f))
+                    for f in part.folds_dict])
+
+    mesh = make_mesh(jax.devices()[:1])
+    (xtx_b, xty_b), _stats = sharded_training_matrices(
+        cfg, state, idx, mesh=mesh, impl="auto"
+    )
+    xtx_b = np.asarray(xtx_b)
+    xty_b = np.asarray(xty_b)
+
+    cvm = CVMatrix(True, True, True, True, ddof=1).fit(X, Y, w)
+    worst_x = worst_y = 0.0
+    for f in range(P):
+        (ex, ey), _ = cvm.training_XTX_XTY(idx[f])
+        worst_x = max(worst_x, float(np.max(np.abs(np.asarray(ex) - xtx_b[f]))))
+        worst_y = max(worst_y, float(np.max(np.abs(np.asarray(ey) - xty_b[f]))))
+
+    row = {
+        "platform": jax.devices()[0].platform,
+        "N": N, "K": K, "M": M, "P": P,
+        "impl": "auto",
+        "max_abs_dXTX": worst_x,
+        "max_abs_dXTY": worst_y,
+        "contract": 1e-8,
+        "ok": bool(worst_x < 1e-8 and worst_y < 1e-8),
+    }
+    print(json.dumps(row), flush=True)
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "mesh_parity_tpu.json")
+    with open(out, "w") as fjson:
+        json.dump(row, fjson, indent=1)
+    assert row["ok"], row
+    print("MESH KERNEL PARITY OK (1e-8, real chip)")
+
+
+if __name__ == "__main__":
+    main()

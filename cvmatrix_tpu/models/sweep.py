@@ -13,6 +13,7 @@ feature: one call computes every fold's training matrices with
 
 from __future__ import annotations
 
+import weakref
 from functools import lru_cache
 from typing import Dict, Hashable, Iterator, Optional, Tuple
 
@@ -507,6 +508,25 @@ _materialize_sweep_jit = jax.jit(
 )
 
 
+# Weight buffers that already passed the non-negativity fetch, keyed by
+# object id with WEAK values: an entry dies with its buffer, so the map
+# can never alias a new array that recycles a freed id (ids are unique
+# among live objects), and it holds no device memory alive. jax.Array is
+# unhashable (elementwise __eq__), hence id keys rather than a WeakSet.
+_VALIDATED_WEIGHTS: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
+
+
+def _weights_validated(weights) -> bool:
+    return _VALIDATED_WEIGHTS.get(id(weights)) is weights
+
+
+def _remember_validated(weights) -> None:
+    try:
+        _VALIDATED_WEIGHTS[id(weights)] = weights
+    except TypeError:  # non-weakrefable array flavor: just re-validate later
+        pass
+
+
 def materialize_cv(
     config: CVConfig,
     X,
@@ -520,6 +540,7 @@ def materialize_cv(
     return_XTX: bool = True,
     return_XTY: bool = True,
     hbm_budget_bytes: float = 4e9,
+    validate: bool = True,
 ):
     """Fit + full fold sweep as ONE compiled program; returns a probe scalar.
 
@@ -543,13 +564,18 @@ def materialize_cv(
     # work: the fused program runs fit(validate=False) under jit. NumPy
     # inputs are checked host-side for free; a committed jax array costs
     # one dependent-scalar fetch (the single-dispatch total-CV path is
-    # ~0.15 s at P=1000, so an avoidable ~30 ms tunnel round trip counts).
-    if weights is not None:
+    # ~0.15 s at P=1000, so an avoidable ~30 ms tunnel round trip counts)
+    # — so a buffer that already passed is remembered and never re-fetched,
+    # and callers owning the contract can skip entirely with
+    # ``validate=False`` (mirroring :func:`~cvmatrix_tpu.core.fit.fit`).
+    if validate and weights is not None:
         if not isinstance(weights, jax.Array):
             if np.any(np.asarray(weights) < 0):
                 raise ValueError("Weights must be non-negative.")
-        elif is_concrete(weights) and bool(jnp.any(weights < 0)):
-            raise ValueError("Weights must be non-negative.")
+        elif is_concrete(weights) and not _weights_validated(weights):
+            if bool(jnp.any(weights < 0)):
+                raise ValueError("Weights must be non-negative.")
+            _remember_validated(weights)
 
     X = jnp.asarray(X, config.dtype)
     if X.ndim == 1:

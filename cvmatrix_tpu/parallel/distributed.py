@@ -475,15 +475,75 @@ def sharded_cross_validate_reduce(
     return red
 
 
-@lru_cache(maxsize=64)
+def _reduce_fn_key(reduce_fn):
+    """A cache key for ``reduce_fn`` that survives re-created lambdas.
+
+    Keying the program cache on function identity silently misses when a
+    caller passes a fresh lambda per invocation (the natural style),
+    recompiling the whole mesh program each call. Python functions with
+    the same compiled code object, defaults and closure values trace
+    identically, so key on those instead; unhashable closure cells fall
+    back to object identity (conservative: may still miss, never aliases
+    two different traces).
+    """
+    code = getattr(reduce_fn, "__code__", None)
+    if code is None:  # builtins / C callables: identity is all there is
+        return reduce_fn
+
+    def _cell_key(value):
+        try:
+            hash(value)
+        except TypeError:
+            return ("id", id(value))
+        return ("hash", value)
+
+    cells = getattr(reduce_fn, "__closure__", None) or ()
+    defaults = getattr(reduce_fn, "__defaults__", None) or ()
+    return (
+        code,
+        tuple(_cell_key(c.cell_contents) for c in cells),
+        tuple(_cell_key(d) for d in defaults),
+    )
+
+
 def _reduce_program(config, mesh, names, weighted, impl_r, return_XTX,
                     return_XTY, interpret, shard_rows, bs_local, reduce_fn):
     """Cached jitted program for :func:`sharded_cross_validate_reduce`.
 
-    Keyed on everything the trace depends on (``reduce_fn`` by identity —
-    pass a stable function object, not a fresh lambda per call, to hit the
-    cache).
+    Keyed on everything the trace depends on; ``reduce_fn`` is keyed by
+    its code object + closure/default values (see :func:`_reduce_fn_key`),
+    so a fresh-but-identical lambda per call still hits the cache.
     """
+    return _reduce_program_cached(
+        config, mesh, names, weighted, impl_r, return_XTX, return_XTY,
+        interpret, shard_rows, bs_local, _reduce_fn_key(reduce_fn),
+        _Uncached(reduce_fn),
+    )
+
+
+class _Uncached:
+    """Hashable carrier that compares equal to everything of its type.
+
+    Lets the traced ``reduce_fn`` ride through ``lru_cache`` without
+    contributing to the key (the real key is ``_reduce_fn_key``'s)."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+    def __hash__(self):
+        return 0
+
+    def __eq__(self, other):
+        return isinstance(other, _Uncached)
+
+
+@lru_cache(maxsize=64)
+def _reduce_program_cached(config, mesh, names, weighted, impl_r, return_XTX,
+                           return_XTY, interpret, shard_rows, bs_local,
+                           reduce_key, reduce_carrier):
+    reduce_fn = reduce_carrier.value
     from ..core.batch import batched_matrices_from_blocks
 
     def body(srcs, st, ic, mc):

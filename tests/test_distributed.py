@@ -227,17 +227,48 @@ def test_sharded_programs_are_cached(mesh):
     def reduce_fn(mats, stats):
         return jnp.trace(mats[0])
 
-    h0 = D._reduce_program.cache_info().hits
+    h0 = D._reduce_program_cached.cache_info().hits
     g0 = D._gather_program.cache_info().hits
     f0 = D._fold_math_program.cache_info().hits
     for _ in range(2):
         red = sharded_cross_validate_reduce(
             cfg, st, idx, mesh=mesh, reduce_fn=reduce_fn, impl="xla")
         out = sharded_training_matrices(cfg, st, idx, mesh=mesh, impl="xla")
-    assert D._reduce_program.cache_info().hits > h0
+    assert D._reduce_program_cached.cache_info().hits > h0
     assert D._gather_program.cache_info().hits > g0
     assert D._fold_math_program.cache_info().hits > f0
     assert red.shape == (12,)
+
+
+def test_reduce_program_cache_survives_fresh_lambdas(mesh):
+    """A fresh-but-identical lambda per call (the natural caller style)
+    still hits the program cache: the key is the code object + closure
+    values, not function identity (advisor round-2 finding)."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.parallel import distributed as D
+
+    cfg = CVConfig(False, True, False, True, 1)
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, WEIGHTS)
+    idx = np.arange(12)[:, None]
+
+    def call(scale):
+        return sharded_cross_validate_reduce(
+            cfg, st, idx, mesh=mesh,
+            reduce_fn=lambda mats, stats: jnp.trace(mats[0]) * scale,
+            impl="xla")
+
+    m0 = D._reduce_program_cached.cache_info().misses
+    a = call(1.0)
+    misses_after_first = D._reduce_program_cached.cache_info().misses
+    b = call(1.0)  # fresh lambda, same code + same closure value
+    assert D._reduce_program_cached.cache_info().misses == misses_after_first
+    assert misses_after_first == m0 + 1
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # a DIFFERENT closure value must be a different program, not an alias
+    c = call(2.0)
+    assert D._reduce_program_cached.cache_info().misses == misses_after_first + 1
+    np.testing.assert_allclose(np.asarray(c), 2.0 * np.asarray(a))
 
 
 def test_mesh_kernel_path_f32_large_folds(mesh):

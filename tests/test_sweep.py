@@ -194,6 +194,31 @@ def test_materialize_cv_rejects_negative_weights():
     idx = np.arange(40).reshape(4, 10)
     with pytest.raises(ValueError, match="non-negative"):
         materialize_cv(cfg, X_ALL, Y_ALL, w, idx)
+    # rejects jax arrays too, and a failing buffer is never memoized
+    import jax.numpy as jnp
+
+    wj = jnp.asarray(w)
+    for _ in range(2):
+        with pytest.raises(ValueError, match="non-negative"):
+            materialize_cv(cfg, X_ALL, Y_ALL, wj, idx)
+
+
+def test_materialize_cv_weight_validation_memoized():
+    """A committed weights buffer pays the validation fetch ONCE: repeat
+    sweeps with the same array skip the blocking device round trip
+    (~30 ms over a remote tunnel), and validate=False skips it outright."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.models import sweep as S
+
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    idx = np.arange(40).reshape(4, 10)
+    wj = jnp.asarray(WEIGHTS)
+    p1 = float(materialize_cv(cfg, X_ALL, Y_ALL, wj, idx))
+    assert S._weights_validated(wj)
+    p2 = float(materialize_cv(cfg, X_ALL, Y_ALL, wj, idx))
+    p3 = float(materialize_cv(cfg, X_ALL, Y_ALL, wj, idx, validate=False))
+    assert p1 == p2 == p3
 
 
 def test_prepare_ozaki_sources_rejects_thin_planes():
