@@ -31,9 +31,18 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# `barrier` labels how the `time` column was measured — totals and
+# per-phase numbers come from DIFFERENT runs, so without the label a
+# single-barrier total can read as disagreeing with fit_time+folds_time:
+#   fused-single   one materialize_cv program, one completion fetch
+#   single-chain   fit -> fold sweep chained on device, one fetch
+#   sum-of-phases  time = fit_time + folds_time (nojit/coldjit)
+#   host           host wall time (naive oracle rows)
+# fit_time/folds_time are ALWAYS from separate phased runs, each paying
+# its own ~30 ms completion fetch over a remote tunnel.
 CSV_HEADER = (
     "model,weights,P,N,K,M,center_X,center_Y,scale_X,scale_Y,"
-    "time,fit_time,folds_time,folds_per_sec,gbps,version\n"
+    "time,fit_time,folds_time,folds_per_sec,gbps,barrier,version\n"
 )
 
 
@@ -41,9 +50,12 @@ def save_row(csv_path, **kw):
     try:
         with open(csv_path, "x") as f:
             f.write(CSV_HEADER)
+        cols = CSV_HEADER.strip().split(",")
     except FileExistsError:
-        pass
-    cols = CSV_HEADER.strip().split(",")
+        # Append in the FILE's own column order (a pre-`barrier` file keeps
+        # its schema consistent rather than silently shifting columns).
+        with open(csv_path) as f:
+            cols = f.readline().strip().split(",")
     with open(csv_path, "a") as f:
         f.write(",".join(str(kw.get(c, "")) for c in cols) + "\n")
 
@@ -120,7 +132,7 @@ def run_cvmatrix(cfg_flags, P, X, Y, weights, batch, mode="warmjit"):
                 s = probe(vfold(cfg, st, d[off : off + b]), s)
         float(s)
         t_folds = time.perf_counter() - t0
-        return t_fit, t_folds, t_fit + t_folds
+        return t_fit, t_folds, t_fit + t_folds, "sum-of-phases"
 
     if mode == "coldjit":
         t0 = time.perf_counter()
@@ -129,7 +141,7 @@ def run_cvmatrix(cfg_flags, P, X, Y, weights, batch, mode="warmjit"):
         t0 = time.perf_counter()
         run_all_folds(st)
         t_folds = time.perf_counter() - t0
-        return t_fit, t_folds, t_fit + t_folds
+        return t_fit, t_folds, t_fit + t_folds, "sum-of-phases"
 
     # warmjit: compile first, measure second.
     st = fit_once()
@@ -159,11 +171,13 @@ def run_cvmatrix(cfg_flags, P, X, Y, weights, batch, mode="warmjit"):
         t0 = time.perf_counter()
         total_once()
         t_total = time.perf_counter() - t0
+        barrier = "fused-single"
     else:
         t0 = time.perf_counter()
         run_all_folds(jfit(cfg, Xd, Yd, wd))
         t_total = time.perf_counter() - t0
-    return t_fit, t_folds, t_total
+        barrier = "single-chain"
+    return t_fit, t_folds, t_total, barrier
 
 
 def measure_write_bw(n_mb: int = 1000, reps: int = 50) -> float:
@@ -278,8 +292,8 @@ def main():
     for use_w, flags, P in product([True, False], configs, Ps):
         w = weights if use_w else None
         for mode in modes:
-            t_fit, t_folds, total = run_cvmatrix(flags, P, X, Y, w, batch,
-                                                 mode)
+            t_fit, t_folds, total, barrier = run_cvmatrix(
+                flags, P, X, Y, w, batch, mode)
             gbps = fold_phase_bytes(
                 P, N // P, K, M, dtype.itemsize, use_w
             ) / t_folds / 1e9
@@ -304,7 +318,7 @@ def main():
                 time=round(total, 4), fit_time=round(t_fit, 4),
                 folds_time=round(t_folds, 4),
                 folds_per_sec=round(P / total, 1),
-                gbps=round(gbps, 1), version=__version__,
+                gbps=round(gbps, 1), barrier=barrier, version=__version__,
             )
         if os.environ.get("BENCH_NAIVE", "0") == "1":
             t = run_naive(flags, P, X, Y, w)
@@ -313,7 +327,8 @@ def main():
             save_row(
                 csv_path, model="NaiveOracle", weights=use_w, P=P, N=N, K=K,
                 M=M, center_X=flags[0], center_Y=flags[1], scale_X=flags[2],
-                scale_Y=flags[3], time=round(t, 4), version=__version__,
+                scale_Y=flags[3], time=round(t, 4), barrier="host",
+                version=__version__,
             )
 
 
