@@ -11,6 +11,8 @@ CSV. Environment knobs are reference-compatible:
   BENCH_CONFIGS ("plot" = the 3 reference-figure combos | "all" = 16)
   BENCH_BATCH (0 = HBM-budget auto) fold-batch chunk size
   BENCH_NAIVE ("0")  also time the naive NumPy oracle (very slow)
+  BENCH_NAIVE_ONLY ("0")  skip the fast engine (naive rows only)
+  BENCH_NAIVE_SUBSET ("0")  time S folds, extrapolate to P (labeled)
   BENCH_DTYPE ("float64")
   BENCH_CSV ("benchmark_results.csv")
   BENCH_MODES ("warmjit" | "nojit,coldjit,warmjit")
@@ -213,6 +215,16 @@ def measure_write_bw(n_mb: int = 1000, reps: int = 50) -> float:
 
 
 def run_naive(cfg_flags, P, X, Y, weights):
+    """Naive-oracle total CV time; returns (seconds, extrapolated_flag).
+
+    BENCH_NAIVE_SUBSET=S (0 = off) times S folds and extrapolates linearly
+    to P — each fold recomputes the same-size training block, so per-fold
+    cost is constant in P and the scaling is exact up to host noise. Rows
+    produced this way are labeled (model suffix + barrier) so the figure
+    can distinguish measured from extrapolated points (the reference
+    publishes fully-measured naive rows; this environment has one shared
+    CPU core, where P=1000 x ~40 s/fold would be ~11 h of wall clock).
+    """
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests"))
     from oracle import NaiveOracle
@@ -220,12 +232,20 @@ def run_naive(cfg_flags, P, X, Y, weights):
     cx, cy, sx, sy = cfg_flags
     n = X.shape[0]
     folds = np.arange(n) % P
+    subset = int(os.environ.get("BENCH_NAIVE_SUBSET", 0))
+    n_folds = P if not subset else min(subset, P)
     t0 = time.perf_counter()
     o = NaiveOracle(cx, cy, sx, sy, ddof=1, dtype=X.dtype).fit(X, Y, weights)
     all_idx = np.arange(n)
-    for f in range(P):
+    for f in range(n_folds):
         o.training_XTX_XTY(all_idx[folds != f])
-    return time.perf_counter() - t0
+    t = time.perf_counter() - t0
+    if n_folds == P:
+        return t, False
+    t_fit = time.perf_counter()  # re-measure fit to subtract before scaling
+    NaiveOracle(cx, cy, sx, sy, ddof=1, dtype=X.dtype).fit(X, Y, weights)
+    t_fit = time.perf_counter() - t_fit
+    return t_fit + (t - t_fit) * (P / n_folds), True
 
 
 def main():
@@ -289,9 +309,12 @@ def main():
     weights = rng.random(N).astype(dtype)
     platform = jax.devices()[0].platform
 
+    naive_only = os.environ.get("BENCH_NAIVE_ONLY", "0") == "1"
     for use_w, flags, P in product([True, False], configs, Ps):
         w = weights if use_w else None
         for mode in modes:
+            if naive_only:
+                break
             t_fit, t_folds, total, barrier = run_cvmatrix(
                 flags, P, X, Y, w, batch, mode)
             gbps = fold_phase_bytes(
@@ -321,13 +344,15 @@ def main():
                 gbps=round(gbps, 1), barrier=barrier, version=__version__,
             )
         if os.environ.get("BENCH_NAIVE", "0") == "1":
-            t = run_naive(flags, P, X, Y, w)
-            print(f"NaiveOracle w={use_w} P={P} flags={flags}: {t:.2f}s",
-                  flush=True)
+            t, extrap = run_naive(flags, P, X, Y, w)
+            tag = "-extrapolated" if extrap else ""
+            print(f"NaiveOracle{tag} w={use_w} P={P} flags={flags}: "
+                  f"{t:.2f}s", flush=True)
             save_row(
-                csv_path, model="NaiveOracle", weights=use_w, P=P, N=N, K=K,
-                M=M, center_X=flags[0], center_Y=flags[1], scale_X=flags[2],
-                scale_Y=flags[3], time=round(t, 4), barrier="host",
+                csv_path, model=f"NaiveOracle{tag}", weights=use_w, P=P,
+                N=N, K=K, M=M, center_X=flags[0], center_Y=flags[1],
+                scale_X=flags[2], scale_Y=flags[3], time=round(t, 4),
+                barrier="host-extrapolated" if extrap else "host",
                 version=__version__,
             )
 

@@ -28,10 +28,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N = int(os.environ.get("SCALE_N", 4096))
+# Large enough that a run is tens of ms (a 5 ms run on a shared 1-core
+# host measures dispatch jitter, not scaling structure).
+N = int(os.environ.get("SCALE_N", 16384))
 K = int(os.environ.get("SCALE_K", 64))
 M = int(os.environ.get("SCALE_M", 4))
-P = int(os.environ.get("SCALE_P", 512))
+P = int(os.environ.get("SCALE_P", 4096))
 SIZES = [int(s) for s in os.environ.get("SCALE_SIZES", "1,2,4,8").split(",")]
 
 
@@ -71,40 +73,61 @@ def worker(n_dev: int) -> None:
         return float(jnp.sum(red))  # host fetch = completion barrier
 
     run()  # compile
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        run()
-    dt = (time.perf_counter() - t0) / reps
-    print(json.dumps({"n_dev": n_dev, "folds_per_sec": P / dt}))
+    # Best of several multi-rep blocks: the virtual devices share one CPU
+    # with whatever else the host runs, so a single block can absorb an
+    # unrelated scheduling stall; the fastest block is the least-noise
+    # estimate of the program's own cost.
+    reps = int(os.environ.get("SCALE_REPS", 5))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            run()
+        best = min(best, (time.perf_counter() - t0) / reps)
+    print(json.dumps({"n_dev": n_dev, "folds_per_sec": P / best}))
 
 
 def main() -> None:
-    rows = []
-    for n_dev in SIZES:
-        env = dict(os.environ)
-        env["XLA_FLAGS"] = (
-            env.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={n_dev}"
-        )
-        env.pop("JAX_PLATFORMS", None)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), f"--worker={n_dev}"],
-            env=env, capture_output=True, text=True, timeout=900,
-        )
-        if out.returncode != 0 or not out.stdout.strip():
-            raise RuntimeError(
-                f"worker n_dev={n_dev} failed (rc={out.returncode});"
-                f" stderr:\n{out.stderr[-4000:]}"
+    # Interleaved rounds with a per-size best: on a shared host a single
+    # pass can hand one mesh size an unrelated CPU stall and skew every
+    # efficiency ratio (the baseline divides them all).
+    rounds = int(os.environ.get("SCALE_ROUNDS", 3))
+    best = {n: 0.0 for n in SIZES}
+    for rnd in range(rounds):
+        for n_dev in SIZES:
+            env = dict(os.environ)
+            env["XLA_FLAGS"] = (
+                env.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={n_dev}"
             )
-        line = out.stdout.strip().splitlines()[-1]
-        rows.append(json.loads(line))
-        print(f"n_dev={rows[-1]['n_dev']} folds/s={rows[-1]['folds_per_sec']:.0f}")
-    base = rows[0]["folds_per_sec"]
-    for r in rows:
-        # Virtual devices share one CPU: flat folds/s == zero mesh overhead.
-        r["scaling_efficiency"] = r["folds_per_sec"] / base
-    print(json.dumps({"metric": "mesh_scaling_proxy", "rows": rows}))
+            env.pop("JAX_PLATFORMS", None)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 f"--worker={n_dev}"],
+                env=env, capture_output=True, text=True, timeout=900,
+            )
+            if out.returncode != 0 or not out.stdout.strip():
+                raise RuntimeError(
+                    f"worker n_dev={n_dev} failed (rc={out.returncode});"
+                    f" stderr:\n{out.stderr[-4000:]}"
+                )
+            fps = json.loads(out.stdout.strip().splitlines()[-1])[
+                "folds_per_sec"]
+            best[n_dev] = max(best[n_dev], fps)
+            print(f"round {rnd} n_dev={n_dev} folds/s={fps:.0f}")
+    rows = [{"n_dev": n, "folds_per_sec": best[n],
+             # Virtual devices share one CPU: flat folds/s == zero mesh
+             # overhead.
+             "scaling_efficiency": best[n] / best[SIZES[0]]}
+            for n in SIZES]
+    summary = {"metric": "mesh_scaling_proxy", "rows": rows,
+               "config": {"N": N, "K": K, "M": M, "P": P,
+                          "rounds": rounds}}
+    print(json.dumps(summary))
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "mesh_scaling_cpu_proxy.json")
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -30,7 +30,7 @@ def flag_label(row):
 
 def plot_vs_naive(df, out):
     fast = df[df.model.str.startswith("CVMatrix")]
-    naive = df[df.model == "NaiveOracle"]
+    naive = df[df.model.str.startswith("NaiveOracle")]
     if naive.empty:
         return
     fig, ax = plt.subplots(figsize=(6, 6))
@@ -39,11 +39,17 @@ def plot_vs_naive(df, out):
     ):
         g = g.sort_values("P")
         ax.loglog(g.P, g.time, marker="o", label=f"fast {label}")
-    for (label), g in naive.assign(flags=naive.apply(flag_label, axis=1)).groupby(
-        "flags"
-    ):
+    for (label, extrap), g in naive.assign(
+        flags=naive.apply(flag_label, axis=1),
+        extrap=naive.model.str.endswith("-extrapolated"),
+    ).groupby(["flags", "extrap"]):
         g = g.sort_values("P")
-        ax.loglog(g.P, g.time, marker="x", ls="--", label=f"naive {label}")
+        # Extrapolated points (subset-timed, linearly scaled to P folds)
+        # render hollow so measured and projected can't be conflated.
+        ax.loglog(g.P, g.time, marker="x", ls="--",
+                  markerfacecolor="none" if extrap else None,
+                  label=f"naive {label}" + (" (extrapolated)" if extrap
+                                            else ""))
     ax.set_xlabel("P (folds)")
     ax.set_ylabel("total cross-validation time (s)")
     ax.legend()

@@ -160,15 +160,21 @@ def _sharded_fit_program(config, out_spec):
 
 
 def _gather_sources(config: CVConfig, state: FitState, return_XTY: bool):
-    """The row-sharded streams a config's gathers actually consume."""
-    sources = {"WX": state.WX}
-    if state.weights is not None:
-        sources["X"] = state.X
-        sources["w"] = state.weights
+    """The row-sharded streams a config's gathers actually consume.
+
+    Weighted configs gather only ``X, w`` (and ``Y``) — NOT the derived
+    ``WX``/``WY`` planes: ``WX[i] = w[i] * X[i]`` row-wise, so the products
+    are reformed after the collective from the same operands (bitwise
+    identical), roughly halving the gathered bytes on the wire.
+    """
+    if state.weights is None:
+        sources = {"WX": state.WX}  # unweighted: WX aliases the X stream
+        if return_XTY:
+            sources["Y"] = state.Y
+        return sources
+    sources = {"X": state.X, "w": state.weights}
     if return_XTY:
         sources["Y"] = state.Y
-        if state.weights is not None and config.needs_WY:
-            sources["WY"] = state.WY
     return sources
 
 
@@ -192,17 +198,62 @@ def _local_gather(arrs, idx, shard_rows):
     return {k: grab(a) for k, a in arrs.items()}
 
 
+def _local_gather_scatter(arrs, idx, shard_rows):
+    """Fold-sharded mask-and-reduce-scatter row gather (inside ``shard_map``).
+
+    Same contribution math as :func:`_local_gather`, but the collective is
+    ``psum_scatter`` over the fold axis: each device receives only ITS
+    ``F / n_dev`` fold slice, already summed. On ICI this is a
+    reduce-scatter instead of an all-reduce — 1/n_dev the wire bytes — and
+    it removes the replicated->fold-sharded reshard the fold math would
+    otherwise pay. ``idx.shape[0]`` must be a multiple of the mesh size
+    (callers pad the fold axis).
+    """
+    r0 = jax.lax.axis_index(ROWS) * shard_rows
+    li = idx - r0
+    inb = (li >= 0) & (li < shard_rows)
+    lc = jnp.clip(li, 0, shard_rows - 1)
+
+    # ONE fused collective: concatenate every stream's contribution on the
+    # feature axis and reduce-scatter once, instead of one collective per
+    # stream (launch overhead and ICI message count scale with the number
+    # of collectives, not just bytes).
+    parts = []
+    widths = []
+    for a in arrs.values():
+        rows = a[lc]  # (F, L, C)
+        parts.append(jnp.where(inb[..., None], rows, 0))
+        widths.append(rows.shape[-1])
+    fused = jax.lax.psum_scatter(
+        jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0],
+        ROWS, scatter_dimension=0, tiled=True,
+    )
+    out = {}
+    off = 0
+    for k, c in zip(arrs, widths):
+        out[k] = fused[..., off:off + c]
+        off += c
+    return out
+
+
 def _blocks_from_gathered(config, weighted, gathered, mask_batch, return_XTY):
     """Reproduce gather_val_blocks' aliasing/masking rules on batched blocks.
 
     ``weighted``: whether the fitted state carries weights (a static bool so
     cached program builders need no state object).
     """
-    gWX = gathered["WX"]
     gX = gathered.get("X")
     gY = gathered.get("Y")
-    gWY = gathered.get("WY")
     gw = gathered.get("w")
+    if weighted:
+        # Reform the weighted planes from the gathered operands (same
+        # row-wise products the fit built — bitwise identical to gathering
+        # state.WX/state.WY, at half the collective volume).
+        gWX = gX * gw
+        gWY = None if gY is None or not config.needs_WY else gY * gw
+    else:
+        gWX = gathered["WX"]
+        gWY = None
 
     Xv_u = gWX if not weighted else gX
     Xv_w = gWX if mask_batch is None else gWX * mask_batch[..., None]
@@ -223,40 +274,20 @@ def _blocks_from_gathered(config, weighted, gathered, mask_batch, return_XTY):
     return FoldBlocks(Xv_w, Xv_u, Yv_w, Yv_u, w_val, mask_batch)
 
 
-def _gather_blocks_sharded(
-    config: CVConfig,
-    state: FitState,
-    idx_batch: jax.Array,  # (F, L) global row indices
-    mask_batch: Optional[jax.Array],
-    return_XTY: bool,
-    mesh: Mesh,
-) -> FoldBlocks:
-    """Assemble every fold's validation rows from the row shards.
-
-    Communication is O(F * L * (K + M)) — the gathered rows — never the
-    sharded dataset itself (see :func:`_local_gather`).
-    """
-    n_shards = mesh.shape[ROWS]
-    shard_rows = state.X.shape[0] // n_shards
-    sources = _gather_sources(config, state, return_XTY)
-
-    gathered = _gather_program(mesh, tuple(sources.keys()), shard_rows)(
-        sources, idx_batch
-    )
-    return _blocks_from_gathered(config, state.weights is not None,
-                                 gathered, mask_batch, return_XTY)
-
-
 @lru_cache(maxsize=64)
-def _gather_program(mesh: Mesh, names: tuple, shard_rows: int):
+def _gather_program(mesh: Mesh, names: tuple, shard_rows: int,
+                    scatter: bool = False):
     """Cached jitted mask-and-psum gather (fresh per-call wrappers recompile
     the whole program every invocation — module-level caching is mandatory
-    for warm sweeps)."""
+    for warm sweeps). ``scatter=True`` reduce-scatters over the fold axis
+    (output fold-sharded, 1/n_dev the collective bytes) instead of
+    replicating."""
+    local = _local_gather_scatter if scatter else _local_gather
     return jax.jit(jax.shard_map(
-        lambda arrs, idx: _local_gather(arrs, idx, shard_rows),
+        lambda arrs, idx: local(arrs, idx, shard_rows),
         mesh=mesh,
         in_specs=({k: P(ROWS, None) for k in names}, P()),
-        out_specs={k: P() for k in names},
+        out_specs={k: P(ROWS) if scatter else P() for k in names},
     ))
 
 
@@ -353,20 +384,25 @@ def sharded_training_matrices(
     rep = _replicated(mesh)
     fold_sharded = NamedSharding(mesh, P(ROWS))
 
-    blocks = _gather_blocks_sharded(
-        config, state, jax.device_put(idx_batch, rep),
-        None if mask_batch is None else jax.device_put(mask_batch, rep),
-        return_XTY, mesh,
+    # Gather with a fold-axis reduce-scatter: blocks land ALREADY
+    # fold-sharded (1/n_dev the collective bytes of the replicating psum)
+    # and the fold math consumes them in place — no reshard hop.
+    n_shards = mesh.shape[ROWS]
+    shard_rows = state.X.shape[0] // n_shards
+    sources = _gather_sources(config, state, return_XTY)
+    gathered = _gather_program(
+        mesh, tuple(sources.keys()), shard_rows, scatter=True
+    )(sources, jax.device_put(idx_batch, rep))
+    blocks = _blocks_from_gathered(
+        config, state.weights is not None, gathered,
+        None if mask_batch is None else jax.device_put(mask_batch,
+                                                       fold_sharded),
+        return_XTY,
     )
 
     globals_only = _globals_only(config, state)
     impl_r = _resolve_mesh_impl(config, impl)
 
-    # Explicitly reshard the (replicated) gathered blocks over folds, then run
-    # the fold math fold-sharded; each device computes only its fold slice.
-    blocks = jax.device_put(
-        blocks, jax.tree.map(lambda _: NamedSharding(mesh, P(ROWS)), blocks)
-    )
     out = _fold_math_program(
         config, mesh, impl_r, return_XTX, return_XTY, interpret, fold_sharded
     )(globals_only, blocks)
@@ -549,14 +585,15 @@ def _reduce_program_cached(config, mesh, names, weighted, impl_r, return_XTX,
     def body(srcs, st, ic, mc):
         def step(carry, chunk):
             ci, cm = chunk
-            gathered = _local_gather(srcs, ci, shard_rows)
-            blocks = _blocks_from_gathered(config, weighted, gathered, cm,
-                                           return_XTY)
+            # Reduce-scatter gather: each device receives ONLY its
+            # bs_local fold slice (1/n_dev the collective bytes of the
+            # replicate-then-slice it replaces).
+            gathered = _local_gather_scatter(srcs, ci, shard_rows)
             r0 = jax.lax.axis_index(ROWS) * bs_local
-            my = jax.tree.map(
-                lambda a: jax.lax.dynamic_slice_in_dim(a, r0, bs_local, 0),
-                blocks,
-            )
+            my_mask = None if cm is None else jax.lax.dynamic_slice_in_dim(
+                cm, r0, bs_local, 0)
+            my = _blocks_from_gathered(config, weighted, gathered, my_mask,
+                                       return_XTY)
             if impl_r == "pallas":
                 mats, stats = batched_matrices_from_blocks(
                     config, st, my,
