@@ -24,6 +24,7 @@ from .core import (
     training_XTY,
 )
 from .models import CVMatrix, Partitioner
+from .policy import RoutingPolicy, policy, set_routing
 
 __version__ = "0.3.0"
 
@@ -38,5 +39,8 @@ __all__ = [
     "training_XTY",
     "training_XTX_XTY",
     "training_statistics",
+    "RoutingPolicy",
+    "policy",
+    "set_routing",
     "__version__",
 ]

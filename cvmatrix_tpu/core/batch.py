@@ -37,6 +37,7 @@ import numpy as np
 from ..config import CVConfig
 from ..ops import kernels
 from ..ops.df64 import df_from_f64, df_to_f64, split
+from ..policy import policy as _policy
 from .fold import gather_val_blocks, _compute_training_stats, training_matrices
 from .state import FitState
 
@@ -568,37 +569,21 @@ def loocv_from_sources(config: CVConfig, src: LoocvSources,
     )
 
 
-# A/B knob for the symmetric-mirror kernels (LOOCV and v3); read ONCE at
-# import. Flipping the env var mid-process would be silently ignored
-# anyway: the routing happens at trace time and the module-level jit
-# caches key on static args only — A/B comparisons need separate
-# processes. Default off until real-chip parity + perf are recorded.
-_SYM_KERNELS = os.environ.get("CVMATRIX_TPU_SYM_LOOCV", "0") != "0"
-
-
+# Routing knobs live in cvmatrix_tpu.policy (one place, in-process A/B
+# via set_routing, env vars demoted to debug overrides). These accessors
+# are consulted at trace time; set_routing clears the registered program
+# caches so flips actually re-trace. When both df64x2 and sym_loocv are
+# on, sym wins the route.
 def _sym_enabled() -> bool:
-    return _SYM_KERNELS
-
-
-# Two-folds-per-grid-step f32 LOOCV kernel (same import-once contract).
-_F32X2 = os.environ.get("CVMATRIX_TPU_F32X2", "0") != "0"
-
-# Two-folds-per-step df64 LOOCV kernel. Only pays if the TTTT fold loop is
-# partly step-overhead-bound (the VPU proof / sym A/B decide); when both
-# this and CVMATRIX_TPU_SYM_LOOCV are on, sym wins the route.
-_DF64X2 = os.environ.get("CVMATRIX_TPU_DF64X2", "0") != "0"
-
-# SYRK route for the wide-K batched downdate product (same import-once
-# contract; see _large_fold_pallas_path).
-_BATCH_SYRK = os.environ.get("CVMATRIX_TPU_BATCH_SYRK", "0") != "0"
+    return _policy().sym_loocv
 
 
 def _f32x2_enabled() -> bool:
-    return _F32X2
+    return _policy().f32x2
 
 
 def _df64x2_enabled() -> bool:
-    return _DF64X2
+    return _policy().df64x2
 
 
 def loocv_sym_tile(kp: int):
@@ -989,7 +974,7 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
         # product afterwards — one extra fused output write per fold.
         # Off by default until the widek A/B weighs write vs MXU savings.
         use_syrk = (
-            _BATCH_SYRK and return_XTX
+            _policy().batch_syrk and return_XTX
             and _use_exact(config.matmul_mode, jnp.float64)
             and k >= _precise._SYRK_MIN_K
         )

@@ -24,6 +24,8 @@ import numpy as np
 from ..config import CVConfig
 from ..core.fold import training_matrices
 from ..core.state import FitState
+from ..policy import register_cache as _register_routing_cache
+from ..utils.fnkey import HashableFn as _HashableFn
 from .partitioner import Partitioner
 
 __all__ = ["cross_validate", "cross_validate_reduce", "materialize_cv",
@@ -187,8 +189,12 @@ def cross_validate_reduce(
     mask_c = None if mask is None else mask.reshape(n_chunks, bs, *mask.shape[1:])
 
     runner = _reduce_sweep_jit_donated if donate_state else _reduce_sweep_jit
+    # HashableFn: reduce_fn is a static arg, and static args hash by
+    # identity — a fresh-but-identical lambda per call would recompile the
+    # whole sweep program. The wrapper keys on code + closure values.
     out = runner(
-        config, return_XTX, return_XTY, impl, reduce_fn, state, idx_c, mask_c
+        config, return_XTX, return_XTY, impl, _HashableFn(reduce_fn),
+        state, idx_c, mask_c
     )
     out = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:n_folds], out)
     return out
@@ -698,3 +704,12 @@ def cross_validate_dict(
         for i, key in enumerate(keys):
             out[key] = jax.tree.map(lambda a: a[i], res)
     return out
+
+
+# Routing-policy hooks: set_routing re-traces these programs (the kernel
+# route is baked in at trace time).
+_register_routing_cache(_cv_fold_fn)
+_register_routing_cache(_reduce_sweep_jit)
+_register_routing_cache(_reduce_sweep_jit_donated)
+_register_routing_cache(_materialize_sweep_jit)
+_register_routing_cache(_materialize_cv_jit)

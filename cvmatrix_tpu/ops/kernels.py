@@ -2043,16 +2043,13 @@ def fused_loocv_f32x2(
 _V3_TAIL_START = 5
 
 
-# Trim-budget A/B knob (import-once, like CVMATRIX_TPU_SYM_LOOCV): the
-# default 2^-36 sits ~2 decades below the pipeline's other error sources.
-# The budget needed to drop a product group depends on the fold bracket
-# (error bound scales with Lp): -33 sheds one group at Lp=32 (P=10000 at
-# bench N), -31 at Lp=128 (P=1000) as well — still inside the reference's
-# 1e-8 contract at bench scale (~2e-9 absolute). Flipping mid-process is
-# ignored — routing is baked at trace time; A/B runs need separate
-# processes.
-_OZAKI_BUDGET_LOG2 = int(os.environ.get("CVMATRIX_TPU_OZAKI_BUDGET_LOG2",
-                                        "-36"))
+# Trim budget default lives in cvmatrix_tpu.policy (in-process A/B via
+# set_routing; env var CVMATRIX_TPU_OZAKI_BUDGET_LOG2 is a debug
+# override). The default 2^-36 sits ~2 decades below the pipeline's other
+# error sources. The budget needed to drop a product group depends on the
+# fold bracket (error bound scales with Lp): -33 sheds one group at Lp=32
+# (P=10000 at bench N), -31 at Lp=128 (P=1000) as well — still inside the
+# reference's 1e-8 contract at bench scale (~2e-9 absolute).
 
 
 def ozaki_trim_groups(n_l: int, *, n_slices: int = 10,
@@ -2070,7 +2067,9 @@ def ozaki_trim_groups(n_l: int, *, n_slices: int = 10,
     inside the reference's 1e-8 test contract at bench scale.
     """
     if budget_log2 is None:
-        budget_log2 = _OZAKI_BUDGET_LOG2
+        from ..policy import policy
+
+        budget_log2 = policy().ozaki_budget_log2
     lp = _round_up(max(n_l, 1), 32)
     for sp in range(2, n_slices):
         if 1.2 * (sp + 1) * lp * 2.0 ** (-_OZAKI_T_BITS * sp) \

@@ -32,6 +32,8 @@ from ..config import CVConfig
 from ..core.fit import fit as _fit
 from ..core.fold import FoldBlocks, training_matrices_from_blocks
 from ..core.state import FitState
+from ..policy import register_cache as _register_routing_cache
+from ..utils.fnkey import fn_cache_key as _fn_cache_key
 
 __all__ = [
     "make_mesh",
@@ -511,48 +513,18 @@ def sharded_cross_validate_reduce(
     return red
 
 
-def _reduce_fn_key(reduce_fn):
-    """A cache key for ``reduce_fn`` that survives re-created lambdas.
-
-    Keying the program cache on function identity silently misses when a
-    caller passes a fresh lambda per invocation (the natural style),
-    recompiling the whole mesh program each call. Python functions with
-    the same compiled code object, defaults and closure values trace
-    identically, so key on those instead; unhashable closure cells fall
-    back to object identity (conservative: may still miss, never aliases
-    two different traces).
-    """
-    code = getattr(reduce_fn, "__code__", None)
-    if code is None:  # builtins / C callables: identity is all there is
-        return reduce_fn
-
-    def _cell_key(value):
-        try:
-            hash(value)
-        except TypeError:
-            return ("id", id(value))
-        return ("hash", value)
-
-    cells = getattr(reduce_fn, "__closure__", None) or ()
-    defaults = getattr(reduce_fn, "__defaults__", None) or ()
-    return (
-        code,
-        tuple(_cell_key(c.cell_contents) for c in cells),
-        tuple(_cell_key(d) for d in defaults),
-    )
-
-
 def _reduce_program(config, mesh, names, weighted, impl_r, return_XTX,
                     return_XTY, interpret, shard_rows, bs_local, reduce_fn):
     """Cached jitted program for :func:`sharded_cross_validate_reduce`.
 
     Keyed on everything the trace depends on; ``reduce_fn`` is keyed by
-    its code object + closure/default values (see :func:`_reduce_fn_key`),
+    its code object + closure/default values (see
+    :func:`cvmatrix_tpu.utils.fnkey.fn_cache_key`),
     so a fresh-but-identical lambda per call still hits the cache.
     """
     return _reduce_program_cached(
         config, mesh, names, weighted, impl_r, return_XTX, return_XTY,
-        interpret, shard_rows, bs_local, _reduce_fn_key(reduce_fn),
+        interpret, shard_rows, bs_local, _fn_cache_key(reduce_fn),
         _Uncached(reduce_fn),
     )
 
@@ -561,7 +533,7 @@ class _Uncached:
     """Hashable carrier that compares equal to everything of its type.
 
     Lets the traced ``reduce_fn`` ride through ``lru_cache`` without
-    contributing to the key (the real key is ``_reduce_fn_key``'s)."""
+    contributing to the key (the real key is ``fn_cache_key``'s)."""
 
     __slots__ = ("value",)
 
@@ -621,3 +593,11 @@ def _reduce_program_cached(config, mesh, names, weighted, impl_r, return_XTX,
             check_vma=False,
         )
     )
+
+
+# Routing-policy hooks: set_routing re-traces the mesh programs (the
+# kernel route is baked in at trace time).
+_register_routing_cache(_sharded_fit_program)
+_register_routing_cache(_gather_program)
+_register_routing_cache(_fold_math_program)
+_register_routing_cache(_reduce_program_cached)

@@ -158,7 +158,9 @@ def test_batch_syrk_knob_routes_and_matches(interpret_pallas, monkeypatch):
     st = fit(cfg, X, Y, w)
     base = training_matrices_batched(cfg, st, idx, mask, impl="pallas")
     n0 = calls["n"]  # fit routes through SYRK too; count only the sweep
-    monkeypatch.setattr(B, "_BATCH_SYRK", True)
+    from cvmatrix_tpu.policy import RoutingPolicy
+    monkeypatch.setattr(B, "_policy",
+                        lambda: RoutingPolicy(batch_syrk=True))
     got = training_matrices_batched(cfg, st, idx, mask, impl="pallas")
     assert calls["n"] > n0
     _assert_close(base, got, 1e-10)

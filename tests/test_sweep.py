@@ -253,11 +253,11 @@ def test_sym_knob_routes_v3_sym_kernel(monkeypatch):
         called["bt"] = bt
         return real(*a, bt=bt, **kw)
 
-    monkeypatch.setattr(B, "_SYM_KERNELS", True)
+    monkeypatch.setattr(B, "_sym_enabled", lambda: True)
     monkeypatch.setattr(KK, "fused_ozaki_downdate_v3_sym", spy)
     pair = B.ozaki_v3_from_sources(cfg, src, return_XTY=True, interpret=True)
     assert called["bt"] == B.loocv_sym_tile(src.kp) == 128
-    monkeypatch.setattr(B, "_SYM_KERNELS", False)
+    monkeypatch.setattr(B, "_sym_enabled", lambda: False)
     full = B.ozaki_v3_from_sources(cfg, src, return_XTY=True, interpret=True)
     v1 = np.asarray(pair[:, 0] + pair[:, 1], dtype=np.float64)[:, :k, :k + m]
     v2 = np.asarray(full[:, 0] + full[:, 1], dtype=np.float64)[:, :k, :k + m]
@@ -286,7 +286,7 @@ def test_df64x2_knob_routes_two_per_step(monkeypatch):
         f = rows.shape[0]
         return jnp.zeros((f, 2, src.kp, src.cp), jnp.float32)
 
-    monkeypatch.setattr(B, "_DF64X2", True)
+    monkeypatch.setattr(B, "_df64x2_enabled", lambda: True)
     monkeypatch.setattr(B, "loocv_from_sources", spy)
     from cvmatrix_tpu.models.sweep import _materialize_sweep_impl, _pad_folds
     bs = 10  # what the driver computes after the even bump of 9
@@ -315,13 +315,17 @@ def test_ozaki_budget_knob_trims_groups(monkeypatch):
     idx = np.arange(80).reshape(2, 40)
 
     src_full = B.prepare_ozaki_sources(cfg, st, idx)
-    monkeypatch.setattr(KK, "_OZAKI_BUDGET_LOG2", -32)
-    src_trim = B.prepare_ozaki_sources(cfg, st, idx)
+    from cvmatrix_tpu import policy, set_routing
+    before = policy().ozaki_budget_log2
+    try:
+        set_routing(ozaki_budget_log2=-32)
+        src_trim = B.prepare_ozaki_sources(cfg, st, idx)
+    finally:
+        set_routing(ozaki_budget_log2=before)
     assert src_trim.saN.shape[0] == src_full.saN.shape[0] - 1
 
     out_trim = B.ozaki_v3_from_sources(cfg, src_trim, return_XTY=True,
                                        interpret=True)
-    monkeypatch.setattr(KK, "_OZAKI_BUDGET_LOG2", -36)
     out_full = B.ozaki_v3_from_sources(cfg, src_full, return_XTY=True,
                                        interpret=True)
     v1 = np.asarray(out_trim[:, 0] + out_trim[:, 1], np.float64)[:, :k, :k + m]
@@ -354,7 +358,7 @@ def test_f32x2_knob_routes_two_per_step(monkeypatch):
         f = rows.shape[0]
         return jnp.zeros((f, src.kp, src.cp), jnp.float32)
 
-    monkeypatch.setattr(B, "_F32X2", True)
+    monkeypatch.setattr(B, "_f32x2_enabled", lambda: True)
     monkeypatch.setattr(B, "loocv_f32_from_sources", spy)
     from cvmatrix_tpu.models.sweep import _materialize_sweep_impl, _pad_folds
     bs = 10  # what the driver computes after the even bump of 9
@@ -362,3 +366,28 @@ def test_f32x2_knob_routes_two_per_step(monkeypatch):
     _materialize_sweep_impl(cfg, bs, idx_p.shape[0] // bs, True, True,
                             "pallas", True, st, idx_p, None)
     assert seen["two"] is True and seen["bs"] % 2 == 0
+
+
+def test_reduce_sweep_cache_survives_fresh_lambdas():
+    """A fresh-but-identical reduce_fn lambda per call must not recompile
+    the sweep program (static args hash via HashableFn's code key)."""
+    from cvmatrix_tpu.models import sweep as S
+
+    cfg = CVConfig(True, True, True, True, 1)
+    st = fit(cfg, X_ALL[:, :5], Y_ALL, WEIGHTS)
+    idx = np.arange(24).reshape(4, 6)
+
+    def call(scale):
+        return cross_validate_reduce(
+            cfg, st, idx,
+            reduce_fn=lambda mats, stats: mats[0].trace() * scale,
+            batch_size=2)
+
+    a = call(1.0)
+    n0 = S._reduce_sweep_jit._cache_size()
+    b = call(1.0)  # fresh lambda, same code + closure -> cache hit
+    assert S._reduce_sweep_jit._cache_size() == n0
+    assert_allclose(np.asarray(a), np.asarray(b))
+    c = call(2.0)  # different closure value -> different program
+    assert S._reduce_sweep_jit._cache_size() == n0 + 1
+    assert_allclose(np.asarray(c), 2.0 * np.asarray(a))
