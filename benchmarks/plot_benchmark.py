@@ -45,11 +45,15 @@ def plot_vs_naive(df, out):
     ).groupby(["flags", "extrap"]):
         g = g.sort_values("P")
         # Extrapolated points (subset-timed, linearly scaled to P folds)
-        # render hollow so measured and projected can't be conflated.
-        ax.loglog(g.P, g.time, marker="x", ls="--",
-                  markerfacecolor="none" if extrap else None,
-                  label=f"naive {label}" + (" (extrapolated)" if extrap
-                                            else ""))
+        # render as hollow triangles on a dotted line so measured and
+        # projected can't be conflated ('x' is line-art: a facecolor
+        # tweak alone would be invisible).
+        if extrap:
+            ax.loglog(g.P, g.time, marker="^", markerfacecolor="none",
+                      ls=":", label=f"naive {label} (extrapolated)")
+        else:
+            ax.loglog(g.P, g.time, marker="x", ls="--",
+                      label=f"naive {label}")
     ax.set_xlabel("P (folds)")
     ax.set_ylabel("total cross-validation time (s)")
     ax.legend()

@@ -180,36 +180,18 @@ def _gather_sources(config: CVConfig, state: FitState, return_XTY: bool):
     return sources
 
 
-def _local_gather(arrs, idx, shard_rows):
-    """Shard-local mask-and-psum row gather (call inside ``shard_map``).
-
-    ``idx``: (F, L) global row indices; this shard owns rows
-    ``[r0, r0 + shard_rows)``. Each shard contributes its rows and zeros
-    elsewhere; the ``psum`` over ``rows`` replicates the gathered blocks.
-    """
-    r0 = jax.lax.axis_index(ROWS) * shard_rows
-    li = idx - r0
-    inb = (li >= 0) & (li < shard_rows)
-    lc = jnp.clip(li, 0, shard_rows - 1)
-
-    def grab(arr):
-        rows = arr[lc]  # (F, L, C)
-        rows = jnp.where(inb[..., None], rows, 0)
-        return jax.lax.psum(rows, ROWS)
-
-    return {k: grab(a) for k, a in arrs.items()}
-
-
 def _local_gather_scatter(arrs, idx, shard_rows):
     """Fold-sharded mask-and-reduce-scatter row gather (inside ``shard_map``).
 
-    Same contribution math as :func:`_local_gather`, but the collective is
-    ``psum_scatter`` over the fold axis: each device receives only ITS
-    ``F / n_dev`` fold slice, already summed. On ICI this is a
-    reduce-scatter instead of an all-reduce — 1/n_dev the wire bytes — and
-    it removes the replicated->fold-sharded reshard the fold math would
-    otherwise pay. ``idx.shape[0]`` must be a multiple of the mesh size
-    (callers pad the fold axis).
+    ``idx``: (F, L) global row indices; this shard owns rows
+    ``[r0, r0 + shard_rows)``. Each shard contributes its owned rows (zeros
+    elsewhere) for every fold; the collective is ``psum_scatter`` over the
+    fold axis, so each device receives only ITS ``F / n_dev`` fold slice,
+    already summed. On ICI this is a reduce-scatter instead of an
+    all-reduce — 1/n_dev the wire bytes — and the blocks land fold-sharded,
+    so the fold math pays no replicated->fold-sharded reshard.
+    ``idx.shape[0]`` must be a multiple of the mesh size (callers pad the
+    fold axis).
     """
     r0 = jax.lax.axis_index(ROWS) * shard_rows
     li = idx - r0
@@ -277,19 +259,15 @@ def _blocks_from_gathered(config, weighted, gathered, mask_batch, return_XTY):
 
 
 @lru_cache(maxsize=64)
-def _gather_program(mesh: Mesh, names: tuple, shard_rows: int,
-                    scatter: bool = False):
-    """Cached jitted mask-and-psum gather (fresh per-call wrappers recompile
-    the whole program every invocation — module-level caching is mandatory
-    for warm sweeps). ``scatter=True`` reduce-scatters over the fold axis
-    (output fold-sharded, 1/n_dev the collective bytes) instead of
-    replicating."""
-    local = _local_gather_scatter if scatter else _local_gather
+def _gather_program(mesh: Mesh, names: tuple, shard_rows: int):
+    """Cached jitted reduce-scatter gather (fresh per-call wrappers
+    recompile the whole program every invocation — module-level caching is
+    mandatory for warm sweeps). Output is fold-sharded over the mesh."""
     return jax.jit(jax.shard_map(
-        lambda arrs, idx: local(arrs, idx, shard_rows),
+        lambda arrs, idx: _local_gather_scatter(arrs, idx, shard_rows),
         mesh=mesh,
         in_specs=({k: P(ROWS, None) for k in names}, P()),
-        out_specs={k: P(ROWS) if scatter else P() for k in names},
+        out_specs={k: P(ROWS) for k in names},
     ))
 
 
@@ -393,7 +371,7 @@ def sharded_training_matrices(
     shard_rows = state.X.shape[0] // n_shards
     sources = _gather_sources(config, state, return_XTY)
     gathered = _gather_program(
-        mesh, tuple(sources.keys()), shard_rows, scatter=True
+        mesh, tuple(sources.keys()), shard_rows
     )(sources, jax.device_put(idx_batch, rep))
     blocks = _blocks_from_gathered(
         config, state.weights is not None, gathered,
@@ -422,7 +400,8 @@ def _fold_math_program(config, mesh, impl_r, return_XTX, return_XTY,
     if impl_r == "pallas":
         # Pallas calls have no GSPMD partitioning rule — run the fold phase
         # shard-locally under shard_map (no collectives inside; the gather
-        # already replicated the blocks).
+        # reduce-scattered the blocks, so each device holds only its own
+        # F/n_dev fold slice and computes exactly that slice).
         from ..core.batch import batched_matrices_from_blocks
 
         def fold_math(st, blks):
