@@ -36,8 +36,9 @@ def test_aot_roundtrip_fold_sweep(tmp_path):
 
 
 def test_aot_tpu_platform_artifact_builds_on_cpu_host(tmp_path):
-    """Lowering for the tpu platform needs no accelerator on the build
-    host; running the artifact on a cpu runtime then fails cleanly."""
+    """A forced-routing (impl='xla') tpu-platform artifact can be lowered
+    on a CPU-only build host with the explicit mismatch override; running
+    it on a cpu runtime then fails cleanly."""
     cfg = CVConfig(True, True, False, False, ddof=1, dtype=np.float64)
     st = fit(cfg, X_ALL, Y_ALL, WEIGHTS)
     idx = jnp.asarray(np.arange(8).reshape(2, 4))
@@ -46,9 +47,26 @@ def test_aot_tpu_platform_artifact_builds_on_cpu_host(tmp_path):
         return training_matrices_batched(cfg, state, idx, None, impl="xla")
 
     path = str(tmp_path / "sweep_tpu.aot")
-    export_program(sweep, (st, idx), path, platforms=["tpu"])
+    export_program(sweep, (st, idx), path, platforms=["tpu"],
+                   allow_backend_mismatch=True)
     with pytest.raises(Exception, match="(?i)platform"):
         load_program(path)(st, idx)
+
+
+def test_aot_refuses_cross_backend_tpu_build_by_default(tmp_path):
+    """matmul_mode='auto' routing is baked at trace time: exporting a
+    tpu-platform artifact from a CPU host would silently bake the native
+    f64 dot (~f32 accuracy on TPU), so export_program refuses it."""
+    cfg = CVConfig(True, True, False, False, ddof=1, dtype=np.float64)
+    st = fit(cfg, X_ALL, Y_ALL, WEIGHTS)
+    idx = jnp.asarray(np.arange(8).reshape(2, 4))
+
+    def sweep(state, idx):
+        return training_matrices_batched(cfg, state, idx, None)
+
+    with pytest.raises(ValueError, match="trace time"):
+        export_program(sweep, (st, idx), str(tmp_path / "x.aot"),
+                       platforms=["tpu"])
 
 
 def test_aot_rejects_foreign_file(tmp_path):
