@@ -27,7 +27,6 @@ semantics, different schedule.
 from __future__ import annotations
 
 import functools
-import os
 from typing import NamedTuple
 
 import jax
@@ -50,6 +49,8 @@ __all__ = [
     "dataset_planes",
     "gather_ozaki_rows",
     "loocv_single_tile_ok",
+    "downdate_from_operands",
+    "loocv_from_sources",
     "loocv_sym_from_sources",
     "loocv_sym_tile",
     "loocv_f32_from_sources",
@@ -58,7 +59,10 @@ __all__ = [
     "prepare_fold_operands",
     "prepare_loocv_sources",
     "prepare_ozaki_sources",
+    "slice_operands",
     "smallfold_from_sources",
+    "stats_from_blocks",
+    "batched_matrices_from_blocks",
     "training_matrices_batched",
 ]
 
@@ -449,6 +453,16 @@ def prepare_loocv_sources(
         None if mask_batch is None
         else jnp.asarray(mask_batch, config.dtype).reshape(f_folds, n_l)
     )
+    if not return_XTX:
+        # The packed layout places Y at columns [K, K+M) of the SAME tile
+        # as XTX; without the XTX side, _total_planes would pack XTY at
+        # column 0 while every Y-side vector still points at [K, K+M) —
+        # silently misaligned operands (not a geometry problem, so the
+        # Kp == Cp check below cannot catch it).
+        raise ValueError(
+            "the fused LOOCV kernels require return_XTX=True; "
+            "check loocv_single_tile_ok before preparing sources"
+        )
     k = state.K
     m = state.M if return_XTY else 0
     c = k + (m or 0) if return_XTY else k
@@ -514,7 +528,9 @@ def prepare_loocv_sources(
     if presplit is None:
         # The factor-form L == 1 kernel reads a presplit total when scaling;
         # the reference-form small-fold kernel splits in-register instead.
-        presplit = scale and n_l == 1
+        # f64 only: the f32 engine reads plane 0 alone, so presplit planes
+        # would double its VMEM staging for nothing.
+        presplit = scale and n_l == 1 and np.dtype(config.dtype).itemsize == 8
     total4 = _total_planes(state, return_XTX, return_XTY, kp, cp,
                            presplit=presplit)
     return LoocvSources(total4, xw, xu, yu, yw, gx, gy, ymask, scal, mrow)
@@ -696,15 +712,14 @@ def training_matrices_batched(
         impl = "pallas" if (on_tpu and dt.itemsize in (4, 8)) else "xla"
 
     if impl == "xla":
+        if pair_output:  # static: check BEFORE the whole vmapped sweep runs
+            raise ValueError("pair_output requires the f64 Pallas impl.")
         fold_fn = lambda v, mk: training_matrices(  # noqa: E731
             config, state, v, mk,
             return_XTX=return_XTX, return_XTY=return_XTY,
         )
         in_axes = (0, None if mask is None else 0)
-        out = jax.vmap(fold_fn, in_axes=in_axes)(idx, mask)
-        if pair_output:
-            raise ValueError("pair_output requires the f64 Pallas impl.")
-        return out
+        return jax.vmap(fold_fn, in_axes=in_axes)(idx, mask)
     if impl != "pallas":
         raise ValueError(f"Unknown impl: {impl!r} (auto|pallas|xla).")
 
@@ -797,14 +812,14 @@ def batched_matrices_from_blocks(
     Returns ``(mats, (X_mean, X_std, Y_mean, Y_std))`` with f64 matrices,
     exactly like ``vmap(training_matrices_from_blocks)``.
     """
-    if stats5 is None:
-        stats5 = stats_from_blocks(config, state, blocks, return_XTX,
-                                   return_XTY)
     dt = np.dtype(config.dtype)
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
         impl = "pallas" if (on_tpu and dt.itemsize in (4, 8)) else "xla"
     if impl == "xla":
+        # training_matrices_from_blocks derives its statistics internally —
+        # computing stats5 first would double the stats work (not
+        # guaranteed to be CSE'd outside jit).
         from .fold import training_matrices_from_blocks
 
         def one(blks):
@@ -816,6 +831,9 @@ def batched_matrices_from_blocks(
         return jax.vmap(one)(blocks)
     if impl != "pallas":
         raise ValueError(f"Unknown impl: {impl!r} (auto|pallas|xla).")
+    if stats5 is None:
+        stats5 = stats_from_blocks(config, state, blocks, return_XTX,
+                                   return_XTY)
 
     n_l = blocks.Xv_w.shape[1]
     is_f64 = dt.itemsize == 8
@@ -955,24 +973,32 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
         and _use_exact(config.matmul_mode, jnp.float64)
     )
     rows = _round_up(n_l, 32) if use_fused else n_l
-    xvp = jnp.zeros((f_folds, rows, kp), f64).at[:, :n_l, :k].set(
-        blocks.Xv_w.astype(f64)
-    )
-    m2p = jnp.zeros((f_folds, rows, cp), f64).at[:, :n_l, :c].set(
-        m2.astype(f64)
-    )
+
+    def padded_row_operands():
+        xvp = jnp.zeros((f_folds, rows, kp), f64).at[:, :n_l, :k].set(
+            blocks.Xv_w.astype(f64)
+        )
+        m2p = jnp.zeros((f_folds, rows, cp), f64).at[:, :n_l, :c].set(
+            m2.astype(f64)
+        )
+        return xvp, m2p
+
     if use_fused:
+        xvp, m2p = padded_row_operands()
         sa, pa = jax.vmap(row_slice_operands)(xvp)
         sb, pb = jax.vmap(row_slice_operands)(m2p)
     else:
         from ..ops import precise as _precise
 
         # Opt-in SYRK for the wide-K batched downdate: the UNPADDED
-        # operands keep the leading k block symmetric (the padded twins
-        # below mix Y columns into it), so the mirrored contraction skips
+        # operands keep the leading k block symmetric (padded twins would
+        # mix Y columns into it), so the mirrored contraction skips
         # ~45% of the per-fold MXU work; the price is padding the (kp, cp)
         # product afterwards — one extra fused output write per fold.
         # Off by default until the widek A/B weighs write vs MXU savings.
+        # (Padded row operands are built only on the branch that consumes
+        # them — at genomics-wide Kp they are ~MBs of dead work per chunk
+        # otherwise.)
         use_syrk = (
             _policy().batch_syrk and return_XTX
             and _use_exact(config.matmul_mode, jnp.float64)
@@ -986,6 +1012,7 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
             prod64 = jnp.zeros(
                 (f_folds, kp, cp), f64).at[:, :k, :c].set(prod_t)
         else:
+            xvp, m2p = padded_row_operands()
             prod64 = jax.vmap(
                 lambda a, b: contract(a, b, mode=config.matmul_mode)
             )(xvp, m2p)
@@ -1195,6 +1222,7 @@ class DatasetPlanes(NamedTuple):
     pb: jnp.ndarray       # (2, Cp) f32 half-factors, B side
     kp: int
     cp: int
+    with_y: bool          # whether sbN_rev carries the Y columns
 
 
 def dataset_planes(
@@ -1240,7 +1268,7 @@ def dataset_planes(
     if with_y:
         b_parts.append((state.Y, k))
     sbN_rev, pb = slice_planes(b_parts, cp, reverse=True)
-    return DatasetPlanes(saN, sbN_rev, pa, pb, kp, cp)
+    return DatasetPlanes(saN, sbN_rev, pa, pb, kp, cp, with_y)
 
 
 def contract_from_planes(planes: DatasetPlanes) -> jnp.ndarray:
@@ -1363,6 +1391,15 @@ def prepare_ozaki_sources(
             f"shared dataset planes were built with {n_built} slices but "
             f"this fold size needs {n_sp} (ozaki_trim_groups); rebuild "
             f"dataset_planes with n_slices >= {n_sp}."
+        )
+    if with_y and not planes.with_y:
+        # Same shapes either way (Cp == Kp), but with_y=False planes carry
+        # zeros in the Y columns — the kernel would silently skip the
+        # XTY downdate.
+        raise ValueError(
+            "shared dataset planes were built with with_y=False but "
+            "return_XTY=True needs the Y columns; rebuild dataset_planes "
+            "with with_y=True."
         )
     saN = planes.saN if n_built == n_sp else planes.saN[:n_sp]
     sbN_rev = (

@@ -199,3 +199,48 @@ def test_large_fold_threshold_per_shape():
     cfg32 = CVConfig(True, True, True, True, 1, dtype=np.float32)
     st32 = fit(cfg32, X_ALL.astype(np.float32), Y_ALL.astype(np.float32))
     assert large_fold_threshold(cfg32, st32, True, True) == LARGE_FOLD_ROWS
+
+
+def test_prepare_loocv_sources_requires_xtx():
+    """The packed tile layout places Y at [K, K+M) of the XTX tile; without
+    the XTX side the operands would be silently misaligned (round-3 review
+    finding) — prepare must refuse instead."""
+    from cvmatrix_tpu.core import batch as B
+
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    st = fit(cfg, X_ALL[:, :20], Y_ALL, WEIGHTS)
+    idx = np.arange(8).reshape(8, 1)
+    with pytest.raises(ValueError, match="return_XTX"):
+        B.prepare_loocv_sources(cfg, st, idx, return_XTX=False,
+                                return_XTY=True)
+
+
+def test_prepare_ozaki_sources_rejects_y_less_shared_planes():
+    """with_y=False planes have the same shapes but zero Y columns — the
+    kernel would silently skip the XTY downdate (round-3 review finding)."""
+    from cvmatrix_tpu.core import batch as B
+
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    st = fit(cfg, X_ALL[:, :20], Y_ALL, WEIGHTS)
+    idx = np.arange(80).reshape(2, 40)
+    planes = B.dataset_planes(cfg, st, with_y=False, n_slices=10)
+    with pytest.raises(ValueError, match="with_y"):
+        B.prepare_ozaki_sources(cfg, st, idx, return_XTY=True,
+                                planes=planes)
+
+
+def test_prepare_loocv_sources_f32_presplit_default():
+    """The f32 engine reads total plane 0 only; the presplit default must
+    not build the 4-plane split for it (doubles VMEM staging for nothing)."""
+    from cvmatrix_tpu.core import batch as B
+
+    cfg32 = CVConfig(True, True, True, True, ddof=1, dtype=np.float32)
+    st32 = fit(cfg32, X_ALL[:, :20].astype(np.float32),
+               Y_ALL.astype(np.float32), WEIGHTS.astype(np.float32))
+    idx = np.arange(8).reshape(8, 1)
+    src32 = B.prepare_loocv_sources(cfg32, st32, idx)
+    assert src32.total4.shape[0] == 2  # (total_hi-ish pair), not 4 planes
+    cfg64 = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    st64 = fit(cfg64, X_ALL[:, :20], Y_ALL, WEIGHTS)
+    src64 = B.prepare_loocv_sources(cfg64, st64, idx)
+    assert src64.total4.shape[0] == 4  # f64 scaling path presplits
