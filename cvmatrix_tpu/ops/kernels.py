@@ -21,7 +21,6 @@ carries the ``sum_w_train`` factor and ``inv*`` are reciprocal stds.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import jax
@@ -286,7 +285,7 @@ def fused_downdate_df64(
 def _df64_kernel_packed(total_ref, u_ref, v_ref, kv_ref, cv_ref,
                         out_ref, acc_h, acc_l, *, center: bool, scale: bool,
                         n_l: int, presplit_total: bool):
-    """Same math as :func:`_df64_kernel`, but the per-fold K-side vectors
+    """Same math as :func:`fused_downdate_df64`, but the per-fold K-side vectors
     ride in one (1, 2, 2, bk) block [p, i1] and the C-side in (1, 2, 2, bc)
     [q, i2] — one HBM stream each instead of four."""
     l = pl.program_id(3)
@@ -673,7 +672,10 @@ def fused_downdate_f32_packed(
         ),
         cost_estimate=pl.CostEstimate(
             flops=8 * f_folds * kp * cp * max(n_l, 1),
-            bytes_accessed=f_folds * kp * cp * 4 + kp * cp * 4,
+            # output + total + the per-fold u/v row streams (the dominant
+            # input term at large L, same accounting as the df64 sibling)
+            bytes_accessed=(f_folds * kp * cp * 4 + kp * cp * 4
+                            + f_folds * max(n_l, 1) * (kp + cp) * 2 * 4),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -1649,6 +1651,12 @@ def fused_smallfold_df64(
     callers (no per-fold operand streams) and as the masked-batch variant
     of the all-in-one design.
     """
+    if idx.shape[0] % n_l:
+        raise ValueError(
+            f"flat index count {idx.shape[0]} is not a multiple of the "
+            f"fold size {n_l} — a floor-divided fold count would silently "
+            "drop trailing rows"
+        )
     f_folds = idx.shape[0] // n_l
     n_planes, kp, cp = total4.shape
     if kp != cp:
@@ -1831,7 +1839,9 @@ def fused_loocv_f32(
         num_scalar_prefetch=1,
         grid=(f_folds,),
         in_specs=[
-            pl.BlockSpec((n_planes, kp, cp), c3),
+            # plane 0 only: the f32 body never reads the pair/presplit
+            # planes, so staging them would double the VMEM block.
+            pl.BlockSpec((1, kp, cp), c3),
             pl.BlockSpec((1, 2, kp), row),
             pl.BlockSpec((1, 2, kp), row),
             pl.BlockSpec((1, 2, cp), row if with_y else c3),
@@ -1991,7 +2001,8 @@ def fused_loocv_f32x2(
         num_scalar_prefetch=1,
         grid=(f_folds // 2,),
         in_specs=[
-            pl.BlockSpec((n_planes, kp, cp), c3),
+            # plane 0 only: the shared f32 body never reads further planes.
+            pl.BlockSpec((1, kp, cp), c3),
             pl.BlockSpec((1, 2, kp), rowA),
             pl.BlockSpec((1, 2, kp), rowA),
             pl.BlockSpec((1, 2, cp), rowA if with_y else c3),
@@ -2329,6 +2340,12 @@ def fused_ozaki_downdate_v3(
     sp_slices, rows_total, kp = sa.shape
     cp = sb_rev.shape[2]
     f_folds = scal.shape[0]
+    if rows_total % f_folds:
+        raise ValueError(
+            f"row count {rows_total} is not a multiple of the fold count "
+            f"{f_folds} — a floor-divided stride would silently read the "
+            "wrong folds' rows"
+        )
     lp = rows_total // f_folds
     if kp != cp:
         raise ValueError(f"requires KP == CP, got ({kp},{cp})")
@@ -2419,6 +2436,12 @@ def fused_ozaki_downdate_v3_sym(
     sp_slices, rows_total, kp = sa.shape
     cp = sb_rev.shape[2]
     f_folds = scal.shape[0]
+    if rows_total % f_folds:
+        raise ValueError(
+            f"row count {rows_total} is not a multiple of the fold count "
+            f"{f_folds} — a floor-divided stride would silently read the "
+            "wrong folds' rows"
+        )
     lp = rows_total // f_folds
     if kp != cp or kp % bt or kp // bt < 2:
         raise ValueError(
