@@ -103,6 +103,24 @@ def gather_val_blocks(
     return FoldBlocks(Xv_w, Xv_u, Yv_w, Yv_u, w_val, mask)
 
 
+def _checkable(state: FitState, v, mask) -> bool:
+    """Whether the data-dependent validity raises can run eagerly.
+
+    The checked predicates read the fold indices AND the state's weight
+    scalars, so EVERY input must be concrete — a fused ``jit(fit + fold)``
+    traces the state even when the indices are host constants, and a
+    ``bool()`` on the traced predicate would crash the trace. Deferred
+    checks run in the host-side pre-flight instead (Partitioner.validate).
+    """
+    return (
+        is_concrete(v)
+        and (mask is None or is_concrete(mask))
+        and is_concrete(state.sum_w)
+        and (state.num_nonzero_w is None or is_concrete(state.num_nonzero_w))
+        and (state.weights is None or is_concrete(state.weights))
+    )
+
+
 def _train_weight_scalars(state: FitState, blocks: FoldBlocks, *, check: bool):
     """Training-set weight sum and nonzero count (ref :589-630)."""
     if blocks.w_val is None:
@@ -333,7 +351,7 @@ def training_matrices(
     if return_XTY and state.Y is None:
         raise ValueError("Response variables `Y` are not provided.")
     v = jnp.asarray(val_indices)
-    check = is_concrete(v) and (mask is None or is_concrete(mask))
+    check = _checkable(state, v, mask)
     blocks = gather_val_blocks(config, state, v, mask, return_XTY)
     return training_matrices_from_blocks(
         config,
@@ -377,8 +395,10 @@ def training_statistics(
     """
     v = jnp.asarray(val_indices)
     has_Y = state.Y is not None
-    check = is_concrete(v) and (mask is None or is_concrete(mask))
-    blocks = gather_val_blocks(config, state, v, mask, return_XTY=has_Y)
+    check = _checkable(state, v, mask)
+    need_y_stats = (config.center_Y or config.scale_Y) and has_Y
+    blocks = gather_val_blocks(config, state, v, mask,
+                               return_XTY=need_y_stats)
     return _compute_training_stats(
         config,
         state,

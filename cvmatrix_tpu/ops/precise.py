@@ -72,35 +72,57 @@ def _mantissa_slices(x: jax.Array, n_slices: int):
 
 
 def _pow2(e: jax.Array) -> jax.Array:
-    """Exact float64 ``2.0**e`` for int32 ``e`` with |e| <= 254.
+    """Exact float64 ``2.0**e`` for int32 ``e`` across the full f64 range.
 
-    Built from float32 ``ldexp`` (s32 bit ops, TPU-safe) in two halves, then
-    multiplied in float64 — a product of two exact powers of two is exact.
-    The f64 ``ldexp``/``frexp`` primitives are avoided entirely: they lower
-    to s64 ``bitcast_convert``, which the TPU X64 rewriter does not support.
+    Built from float32 ``ldexp`` (s32 bit ops, TPU-safe) factors of at most
+    2^±126 each — jax's f32 ldexp flushes subnormals, so 2^-127 would be 0
+    — multiplied in float64: a product of exact powers of two is exact,
+    and chunking covers |e| up to 9 * 126 = 1134 (the entire f64 exponent
+    range; beyond it the product over/underflows to inf/0, which is also
+    the correct f64 answer for the rescale it feeds). The f64
+    ``ldexp``/``frexp`` primitives are avoided entirely: they lower to s64
+    ``bitcast_convert``, which the TPU X64 rewriter does not support.
     """
-    h1 = jnp.clip(e, -127, 127)
-    h2 = e - h1
-    p1 = jnp.ldexp(jnp.float32(1.0), h1).astype(jnp.float64)
-    p2 = jnp.ldexp(jnp.float32(1.0), h2).astype(jnp.float64)
-    return p1 * p2
+    rem = e
+    out = None
+    for _ in range(9):
+        h = jnp.clip(rem, -126, 126)
+        rem = rem - h
+        p = jnp.ldexp(jnp.float32(1.0), h).astype(jnp.float64)
+        out = p if out is None else out * p
+    return out
 
 
 def _column_scale(x: jax.Array):
     """Per-column exponent e with |column max| * 2^-e in [0.5, 1).
 
     The exponent is extracted from a float32 cast of the column max (f32
-    frexp uses only s32 bit ops). The f64->f32 cast rounds to nearest, which
-    can bump a value just below a power of two up to it; since frexp maps
-    2^k to (0.5, k+1) this only ever *over*-estimates e by 0 — and slices
-    stay within int8 range either way because scaled values stay < 1 + 2^-24.
+    frexp uses only s32 bit ops). Columns outside the f32 exponent range
+    are first range-reduced with EXACT power-of-two f64 multiplies (a
+    saturating clip here would under-estimate e by hundreds and overflow
+    the int8 mantissa slices — silently wrong output for f64 data the
+    NumPy reference handles exactly). The f64->f32 cast rounds to nearest,
+    which can bump a value just below a power of two up to it; since frexp
+    maps 2^k to (0.5, k+1) this only ever *over*-estimates e by 0 — and
+    slices stay within int8 range either way because scaled values stay
+    < 1 + 2^-24.
     """
     absmax = jnp.max(jnp.abs(x), axis=0)
-    absmax32 = jnp.where(absmax > 0, absmax, 1.0).astype(jnp.float32)
-    # Guard against overflow/underflow of the f32 cast for extreme f64 data.
-    absmax32 = jnp.clip(absmax32, jnp.float32(1e-38), jnp.float32(3e38))
-    _, e = jnp.frexp(absmax32)
-    return e.astype(jnp.int32)
+    red = jnp.where(absmax > 0, absmax, 1.0)
+    e_adj = jnp.zeros(red.shape, jnp.int32)
+    # Bring the magnitude into (2^-64, 2^64): each step multiplies by an
+    # exact power of two (no rounding), so the final frexp sees the true
+    # mantissa. Covers the whole f64 range incl. subnormals (|e| <= 1074).
+    for shift in (512, 256, 128, 64):
+        factor = jnp.float64(2.0) ** -shift
+        too_big = red >= jnp.float64(2.0) ** shift
+        red = jnp.where(too_big, red * factor, red)
+        e_adj = e_adj + jnp.where(too_big, shift, 0).astype(jnp.int32)
+        too_small = red < factor
+        red = jnp.where(too_small, red / factor, red)
+        e_adj = e_adj - jnp.where(too_small, shift, 0).astype(jnp.int32)
+    _, e = jnp.frexp(red.astype(jnp.float32))
+    return e.astype(jnp.int32) + e_adj
 
 
 def ozaki_contract(
@@ -271,7 +293,15 @@ def symmetric_contract(
     assert ka == k, (ka, k)
     f64 = jnp.float64
 
-    cb = min(col_block, _round_up_pow2_cap(k))
+    # Equalize block widths over the block count instead of fixing cb at
+    # col_block: with cb = col_block, k just above a block multiple (e.g.
+    # k = 2049) padded the last block to a full col_block and the
+    # upper-triangular pass did ~3x MORE MXU work than a plain full
+    # contraction. With nb equal blocks of ~k/nb columns the mirrored
+    # cost is (nb+1)/(2 nb) of the full product for every k — always a
+    # saving at nb >= 2.
+    nb = max(2, -(-k // col_block))
+    cb = _round_up_pow2_cap(-(-k // nb))
     nb = -(-k // cb)
     ka_pad = nb * cb
 
@@ -417,6 +447,12 @@ def _use_exact(mode: str, dtype) -> bool:
         return True
     if mode == "native":
         return False
+    if mode != "auto":
+        # CVConfig validates its own matmul_mode, but direct contract()
+        # callers bypass that — a typo must not silently become "auto".
+        raise ValueError(
+            f"Unknown matmul mode: {mode!r} (auto|exact|native)."
+        )
     # auto: the native XLA f64 dot is only ~f32-accurate on TPU; everywhere
     # else (CPU f64, or f32 anywhere) the native dot is the right call.
     return (
@@ -472,6 +508,11 @@ def row_slice_operands(x: jax.Array, n_slices: int = _N_SLICES):
     ``pows[0] * pows[1] == 2^e`` exactly (two factors because a single one
     can exceed the f32 exponent range). Feeds
     :func:`cvmatrix_tpu.ops.kernels.fused_ozaki_downdate_df64`.
+
+    Domain: the KERNEL operand layout carries exactly two f32 half-factors,
+    so |e| <= 254 — i.e. |x| within ~(2^-252, 2^126). CV-scale data is many
+    decades inside this; data beyond it must use :func:`contract` (whose
+    :func:`_pow2` rescale covers the full f64 range).
     """
     e = _column_scale(x)
     xs = x * _pow2(-e)[None, :]

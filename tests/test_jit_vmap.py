@@ -91,3 +91,33 @@ def test_fit_jits():
     st_e = fit(cfg, X_ALL[:, :5], Y_ALL, WEIGHTS)
     assert_allclose(np.asarray(st.XTX), np.asarray(st_e.XTX), atol=1e-10)
     assert_allclose(np.asarray(st.sum_w), np.asarray(st_e.sum_w))
+
+
+def test_fused_jit_fit_plus_fold_with_concrete_indices():
+    """jit(fit + fold) with host-constant fold indices must trace: the
+    eager validity raises read the STATE's weight scalars too, so the
+    check must defer whenever the state is traced (round-3 review
+    finding: bool(tracer) crashed the fused trace)."""
+    import numpy as np
+
+    from cvmatrix_tpu import CVConfig, fit, training_matrices
+    from cvmatrix_tpu.core.fold import training_statistics
+
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64)
+    rng = np.random.default_rng(3)
+    X, Y, w = rng.random((60, 4)), rng.random((60, 2)), rng.random(60)
+    v = np.arange(5)  # concrete
+
+    fused = jax.jit(
+        lambda x, y, ww: training_matrices(
+            cfg, fit(cfg, x, y, ww, validate=False), v))
+    (xtx, xty), _ = fused(X, Y, w)
+    assert xtx.shape == (4, 4)
+    ref = training_matrices(cfg, fit(cfg, X, Y, w), v)
+    np.testing.assert_allclose(np.asarray(xtx), np.asarray(ref[0][0]),
+                               atol=1e-10)
+
+    stats = jax.jit(
+        lambda x, y, ww: training_statistics(
+            cfg, fit(cfg, x, y, ww, validate=False), v))(X, Y, w)
+    assert stats[0].shape == (1, 4)

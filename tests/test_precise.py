@@ -4,10 +4,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from cvmatrix_tpu.ops.precise import (
+    _pow2,
     contract,
     outer_accumulate_contract,
     ozaki_contract,
+    symmetric_contract,
 )
 
 
@@ -212,3 +216,50 @@ def test_symmetric_contract_weighted_column_exponents():
     ref = a.T @ b
     np.testing.assert_allclose(got, ref, rtol=1e-13,
                                atol=1e-9 * np.abs(ref).max())
+
+
+def test_ozaki_contract_extreme_magnitudes():
+    """Columns far outside the f32 exponent range (round-3 review finding:
+    the old f32 clamp saturated the column exponent and int8 slices
+    overflowed — silently wrong where NumPy f64 is exact)."""
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((64, 6))
+    b = rng.standard_normal((64, 4))
+    a[:, 0] *= 1e200   # e ~ +665
+    a[:, 1] *= 1e-250  # deep small
+    b[:, 2] *= 1e150
+    ref = a.T @ b
+    got = np.asarray(ozaki_contract(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, ref, rtol=5e-14)
+
+
+def test_pow2_full_f64_exponent_range():
+    # +1074 overflows to inf (correct); the deep-subnormal tail below
+    # -1060 may flush to zero under XLA and is excluded (the rescale it
+    # feeds is already underflowed-to-negligible there).
+    e = np.array([0, 254, 256, -256, 1000, -1000, 1060, 1074], np.int32)
+    got = np.asarray(_pow2(jnp.asarray(e)))
+    expect = np.ldexp(1.0, e)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_symmetric_contract_k_just_above_block():
+    """k just above the column block must not pessimize or lose accuracy:
+    blocks are equalized (round-3 review finding)."""
+    rng = np.random.default_rng(6)
+    n, k, m = 300, 2049, 3
+    a = rng.standard_normal((n, k))
+    # b[:, :k] must be the unweighted twin of a for the SYRK contract:
+    w = rng.random(n)
+    aw = a * w[:, None]
+    bb = np.concatenate([a, rng.standard_normal((n, m))], axis=1)
+    ref = aw.T @ bb
+    got = np.asarray(symmetric_contract(jnp.asarray(aw), jnp.asarray(bb), k))
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(got - ref)) / scale < 1e-14
+
+
+def test_contract_rejects_unknown_mode():
+    a = jnp.ones((4, 3))
+    with pytest.raises(ValueError, match="matmul mode"):
+        contract(a, a, mode="exakt")
