@@ -73,20 +73,27 @@ int64_t cvm_partition_i64(const int64_t* labels, int64_t n, int64_t* out_ids,
                           int64_t* out_keys, int64_t* out_counts) {
   if (n < 0) return -1;
   if (n == 0) return 0;
-  Table t(next_pow2(static_cast<uint64_t>(n) * 2));
-  int64_t nkeys = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    bool is_new = false;
-    int64_t id = t.lookup_or_insert(labels[i], nkeys, &is_new);
-    if (is_new) {
-      out_keys[nkeys] = labels[i];
-      out_counts[nkeys] = 0;
-      ++nkeys;
+  // No exception may cross the C ABI into ctypes (std::terminate would
+  // abort the host process); an allocation failure is an error return,
+  // honoring the caller's silent-NumPy-fallback contract.
+  try {
+    Table t(next_pow2(static_cast<uint64_t>(n) * 2));
+    int64_t nkeys = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      bool is_new = false;
+      int64_t id = t.lookup_or_insert(labels[i], nkeys, &is_new);
+      if (is_new) {
+        out_keys[nkeys] = labels[i];
+        out_counts[nkeys] = 0;
+        ++nkeys;
+      }
+      out_ids[i] = id;
+      ++out_counts[id];
     }
-    out_ids[i] = id;
-    ++out_counts[id];
+    return nkeys;
+  } catch (...) {
+    return -1;
   }
-  return nkeys;
 }
 
 // Scatter pass: fills `out_indices` (grouped rows) given the dense ids and

@@ -79,6 +79,10 @@ def gather_val_blocks(
     config: CVConfig, state: FitState, v, mask, return_XTY: bool
 ) -> FoldBlocks:
     """Row-gather the validation block from (possibly sharded) data."""
+    if mask is not None:
+        # Partitioner.padded_batches builds f64 masks; an uncast f64 mask
+        # would silently promote an f32 config's whole fold math to f64.
+        mask = jnp.asarray(mask, config.dtype)
     Xv_raw = state.WX[v]
     Xv_u = Xv_raw if state.weights is None else state.X[v]
     Xv_w = Xv_raw if mask is None else Xv_raw * mask[:, None]

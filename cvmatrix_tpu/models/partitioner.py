@@ -81,7 +81,20 @@ class Partitioner:
                     folds.dtype.type(k): np.asarray(g, dtype=int)
                     for k, g in zip(keys, groups)
                 }
-        if isinstance(folds, np.ndarray) and folds.ndim == 1:
+        # The vectorised path requires np.unique to agree with dict-keyed
+        # grouping: object arrays can hold mutually-uncomparable labels
+        # (unique's sort raises where the reference dict loop succeeds),
+        # and unique collapses all NaNs into ONE fold (equal_nan) where
+        # the reference's dict makes each NaN row its own fold — both fall
+        # through to the generic loop below.
+        vectorizable = (
+            isinstance(folds, np.ndarray)
+            and folds.ndim == 1
+            and folds.dtype != object
+            and not (np.issubdtype(folds.dtype, np.floating)
+                     and bool(np.isnan(folds).any()))
+        )
+        if vectorizable:
             # Vectorised path: sort once, split by fold, order keys by first
             # appearance (matching the reference's insertion-order dict).
             keys, first_idx, inverse = np.unique(
@@ -161,7 +174,7 @@ class Partitioner:
         n_samples: int,
         weights: Optional[np.ndarray] = None,
         *,
-        ddof: int = 0,
+        ddof: int = 1,
         needs_stats: bool = False,
         needs_std: bool = False,
     ) -> None:
@@ -171,7 +184,9 @@ class Partitioner:
         engine must skip (ref ``cvmatrix/cvmatrix.py:625-629, 1074-1078``):
         a training set with zero non-zero weights (when any statistic is
         computed) or with ``ddof >=`` its non-zero-weight count (when any
-        std is computed). Also rejects out-of-range indices.
+        std is computed). Also rejects out-of-range indices. The ``ddof``
+        default matches :class:`~cvmatrix_tpu.config.CVConfig`'s (1) —
+        pass the config's actual value when it differs.
         """
         w = None if weights is None else np.asarray(weights).reshape(-1)
         total_nnz = n_samples if w is None else int(np.count_nonzero(w))

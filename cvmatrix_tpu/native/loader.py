@@ -35,12 +35,35 @@ def _cache_dir() -> str:
     return d
 
 
+def _host_tag() -> str:
+    """CPU/compiler identity for the build cache key.
+
+    The build uses ``-march=native``, so a cached binary is only valid on a
+    machine with the same ISA: a shared cache directory (NFS home across a
+    heterogeneous cluster) must not hand an AVX-512 build to an older node
+    (SIGILL kills the process, defeating the silent-fallback contract).
+    """
+    import platform
+
+    try:
+        gxx = subprocess.run(["g++", "-dumpfullversion"],
+                             capture_output=True, text=True,
+                             timeout=10).stdout.strip()
+    except Exception:
+        gxx = "unknown"
+    return hashlib.sha256(
+        f"{platform.machine()}|{platform.processor()}|{gxx}".encode()
+    ).hexdigest()[:8]
+
+
 def _build() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_SRC):
         return None
     with open(_SRC, "rb") as f:
         tag = hashlib.sha256(f.read()).hexdigest()[:16]
-    so_path = os.path.join(_cache_dir(), f"fastpartition_{tag}.so")
+    so_path = os.path.join(
+        _cache_dir(), f"fastpartition_{tag}_{_host_tag()}.so"
+    )
     if not os.path.exists(so_path):
         tmp = so_path + f".tmp{os.getpid()}"
         cmd = [
@@ -54,6 +77,12 @@ def _build() -> Optional[ctypes.CDLL]:
             os.replace(tmp, so_path)
         except Exception:
             return None
+        finally:
+            if os.path.exists(tmp):  # failed/timed-out compile: no litter
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
     try:
         lib = ctypes.CDLL(so_path)
     except OSError:

@@ -121,36 +121,43 @@ def fit_sharded(
         else jax.device_put(np.asarray(weights).reshape(-1, 1), row)
     )
 
-    def spec(state: FitState) -> FitState:
-        def mark(x, s):
-            return None if x is None else s
-
-        return FitState(
-            X=row,
-            WX=row,
-            Y=mark(state.Y, row),
-            WY=mark(state.WY, row),
-            weights=mark(state.weights, row),
-            XTX=rep,
-            XTY=mark(state.XTY, rep),
-            sum_X=mark(state.sum_X, rep),
-            sum_Y=mark(state.sum_Y, rep),
-            sum_sq_X=mark(state.sum_sq_X, rep),
-            sum_sq_Y=mark(state.sum_sq_Y, rep),
-            sum_w=mark(state.sum_w, rep),
-            num_nonzero_w=mark(state.num_nonzero_w, rep),
-        )
-
     # Trace once eagerly (abstractly) to learn which fields exist, then jit
     # with matching out_shardings.
     shape_state = jax.eval_shape(
         partial(_fit, config, validate=False), Xd, Yd, wd
     )
-    fitted = _sharded_fit_program(config, spec(shape_state))(Xd, Yd, wd)
+    fitted = _sharded_fit_program(
+        config, fit_out_spec(shape_state, row, rep)
+    )(Xd, Yd, wd)
     # Weight validation is data-dependent; do it host-side (eagerly) here.
     if weights is not None and bool(jnp.any(fitted.weights < 0)):
         raise ValueError("Weights must be non-negative.")
     return fitted
+
+
+def fit_out_spec(state: FitState, row, rep) -> FitState:
+    """Output shardings for a sharded fit: data fields row-sharded,
+    products/statistics replicated. One helper shared by the single- and
+    multi-process entry points — the 13-field map must not drift between
+    copies (a field re-marked in one path only would silently reshard)."""
+    def mark(x, s):
+        return None if x is None else s
+
+    return FitState(
+        X=row,
+        WX=row,
+        Y=mark(state.Y, row),
+        WY=mark(state.WY, row),
+        weights=mark(state.weights, row),
+        XTX=rep,
+        XTY=mark(state.XTY, rep),
+        sum_X=mark(state.sum_X, rep),
+        sum_Y=mark(state.sum_Y, rep),
+        sum_sq_X=mark(state.sum_sq_X, rep),
+        sum_sq_Y=mark(state.sum_sq_Y, rep),
+        sum_w=mark(state.sum_w, rep),
+        num_nonzero_w=mark(state.num_nonzero_w, rep),
+    )
 
 
 @lru_cache(maxsize=32)

@@ -51,9 +51,24 @@ def initialize(
 
     On Cloud TPU the arguments are autodetected from the environment; pass
     them explicitly elsewhere.
+
+    The already-initialised probe must NOT touch the device backends:
+    ``jax.process_count()`` initialises them, after which
+    ``jax.distributed.initialize`` always raises and a silent fallback
+    would degrade every host to single-process mode (wrong global
+    products with no error). Hence ``jax.distributed.is_initialized()``.
     """
-    if jax.process_count() > 1:
-        return  # already initialised
+    if jax.distributed.is_initialized():
+        return
+    if num_processes is not None and num_processes > 1:
+        # An explicit multi-process request must never silently degrade:
+        # let initialize() raise on a dead coordinator / late call.
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -61,7 +76,8 @@ def initialize(
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        # Single-process environment (no coordinator): run locally.
+        # Single-process environment (no coordinator to autodetect): run
+        # locally.
         pass
 
 
@@ -98,6 +114,9 @@ def host_row_slice(n_rows: int, mesh: Mesh) -> Tuple[int, int]:
     silently mis-assigning rows — use :func:`host_row_ranges` there.
     """
     ranges = host_row_ranges(n_rows, mesh)
+    if not ranges:
+        # A process outside a sub-mesh hosts no shard: it loads no rows.
+        return 0, 0
     for (_, _, stop0), (_, start1, _) in zip(ranges, ranges[1:]):
         if start1 != stop0:
             raise ValueError(
@@ -141,8 +160,19 @@ def fit_sharded_multihost(
 
     # Host-side pre-flight (the single-process branch validates inside
     # fit(); here fit runs with validate=False under jit, so the check
-    # must happen on the host blocks — each process checks its own rows).
-    if host_weights is not None and np.any(np.asarray(host_weights) < 0):
+    # must happen on the host blocks). The verdict is agreed COLLECTIVELY:
+    # raising on only the process that owns the bad rows would leave the
+    # others blocked in the sharded fit's psum until the collective
+    # timeout — every process must raise, or none.
+    local_bad = bool(
+        host_weights is not None and np.any(np.asarray(host_weights) < 0)
+    )
+    from jax.experimental import multihost_utils
+
+    any_bad = bool(np.any(
+        multihost_utils.process_allgather(np.array([local_bad]))
+    ))
+    if any_bad:
         raise ValueError("Weights must be non-negative.")
 
     def build(host_block, pad_value=0.0):
@@ -184,26 +214,11 @@ def fit_sharded_multihost(
     from functools import partial
 
     from ..core.fit import fit as _fit
+    from .distributed import _sharded_fit_program, fit_out_spec
 
     rep = NamedSharding(mesh, P())
-
-    def spec(state: FitState) -> FitState:
-        def mark(x, s):
-            return None if x is None else s
-
-        return FitState(
-            X=row, WX=row, Y=mark(state.Y, row), WY=mark(state.WY, row),
-            weights=mark(state.weights, row),
-            XTX=rep, XTY=mark(state.XTY, rep),
-            sum_X=mark(state.sum_X, rep), sum_Y=mark(state.sum_Y, rep),
-            sum_sq_X=mark(state.sum_sq_X, rep),
-            sum_sq_Y=mark(state.sum_sq_Y, rep),
-            sum_w=mark(state.sum_w, rep),
-            num_nonzero_w=mark(state.num_nonzero_w, rep),
-        )
-
-    from .distributed import _sharded_fit_program
-
     shape_state = jax.eval_shape(partial(_fit, config, validate=False),
                                  Xg, Yg, wg)
-    return _sharded_fit_program(config, spec(shape_state))(Xg, Yg, wg)
+    return _sharded_fit_program(
+        config, fit_out_spec(shape_state, row, rep)
+    )(Xg, Yg, wg)

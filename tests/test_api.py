@@ -263,3 +263,21 @@ def test_enable_persistent_cache(tmp_path):
         assert jax.config.jax_compilation_cache_dir == d
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_masked_fold_keeps_config_dtype():
+    """padded_batches builds f64 masks; the fold math must cast them to the
+    config dtype instead of silently promoting an f32 job to f64
+    (round-3 review finding)."""
+    import jax.numpy as jnp
+
+    cfg32 = CVMatrix(True, True, True, True, 1, dtype=np.float32)
+    X = X_ALL[:40].astype(np.float32)
+    Y = Y_ALL[:40].astype(np.float32)
+    cfg32.fit(X, Y, None)
+    p = Partitioner(np.array([0] * 15 + [1] * 25))
+    keys, idx, mask = p.padded_batches()
+    assert np.asarray(mask).dtype == np.float64  # the hazard input
+    (xtx, xty), _ = cfg32.training_XTX_XTY(idx[0], mask[0])
+    assert jnp.asarray(xtx).dtype == jnp.float32
+    assert jnp.asarray(xty).dtype == jnp.float32

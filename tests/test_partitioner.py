@@ -68,3 +68,33 @@ def test_loocv_scale():
     p = Partitioner(np.arange(n) % 1000)
     assert p.num_folds == 1000
     assert all(v.size == 100 for v in p.folds_dict.values())
+
+
+def test_nan_labels_each_their_own_fold():
+    """Reference dict semantics: distinct NaN label objects hash equal but
+    compare unequal, so every NaN row is its own fold — np.unique would
+    collapse them into one (round-3 review finding)."""
+    folds = np.array([0.0, np.nan, 1.0, np.nan])
+    p = Partitioner(folds)
+    assert p.num_folds == 4
+    sizes = sorted(v.size for v in p.folds_dict.values())
+    assert sizes == [1, 1, 1, 1]
+
+
+def test_mixed_object_labels():
+    """Mutually-uncomparable object labels group fine via the dict loop
+    (np.unique's sort would raise TypeError)."""
+    folds = np.array(["a", 1, "a", 1], dtype=object)
+    p = Partitioner(folds)
+    assert p.num_folds == 2
+    np.testing.assert_array_equal(p.get_validation_indices("a"), [0, 2])
+    np.testing.assert_array_equal(p.get_validation_indices(1), [1, 3])
+
+
+def test_validate_ddof_default_matches_engine():
+    import inspect
+
+    from cvmatrix_tpu import CVConfig
+
+    sig = inspect.signature(Partitioner.validate)
+    assert sig.parameters["ddof"].default == CVConfig().ddof
