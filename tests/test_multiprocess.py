@@ -90,6 +90,21 @@ try:
 except ValueError:
     pass
 
+# ASYMMETRIC bad weight: the negative lives only in process 0's rows.
+# The pre-flight verdict is agreed collectively, so BOTH processes must
+# raise — a one-sided raise would strand the other process in the fit's
+# psum until the collective timeout (round-3 review finding).
+bad_one = np.abs(w) + 1.0
+bad_one[0] = -1.0  # row 0: owned by process 0 under the contiguous mesh
+try:
+    multihost.fit_sharded_multihost(
+        cfg, mesh, X[start:stop], Y[start:stop], bad_one[start:stop],
+        n_rows_global=N,
+    )
+    raise SystemExit("asymmetric negative weight accepted")
+except ValueError:
+    pass
+
 if pid == 0:
     # single-process truth
     WX = X * w[:, None]
