@@ -167,6 +167,38 @@ def _pair_into(buf, x, row):
     ].set(lo)
 
 
+def _xy_concat(x_part, y_part):
+    """Concatenate the X- and Y-side vectors (either may be absent)."""
+    parts = [p for p in (x_part, y_part) if p is not None]
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
+def _pack_kc_vectors(f_folds, kp, cp, *, scale, center, i1, i2, p_vec,
+                     q_vec):
+    """Assemble the kernels' packed per-fold K/C vector streams.
+
+    ``kvec``/``cvec``: (F, 2, 2, Kp/Cp) f32 — row 0 the center vectors
+    (p on the K side, q on the C side), row 1 the reciprocal-std vectors
+    (i1, i2), each as (hi, lo) double-float pairs. Reciprocal-std rows
+    default to exact 1.0 (padding included: padded output columns then
+    read total=0 * 1 - 0 = 0). Callers pass the vectors in THEIR form —
+    factor-form (stds folded into p/q) or reference-form (p/q unscaled).
+    ``i1`` may be None (X side unscaled) even when ``scale`` is set.
+    """
+    kvec = jnp.zeros((f_folds, 2, 2, kp), jnp.float32)
+    cvec = jnp.zeros((f_folds, 2, 2, cp), jnp.float32)
+    kvec = kvec.at[:, 1, 0, :].set(1.0)
+    cvec = cvec.at[:, 1, 0, :].set(1.0)
+    if scale:
+        if i1 is not None:
+            kvec = _pair_into(kvec, i1, 1)
+        cvec = _pair_into(cvec, i2, 1)
+    if center:
+        kvec = _pair_into(kvec, p_vec, 0)
+        cvec = _pair_into(cvec, q_vec, 0)
+    return kvec, cvec
+
+
 def prepare_fold_operands(
     config: CVConfig,
     state: FitState,
@@ -265,55 +297,36 @@ def prepare_fold_operands(
         vh, vl = df_from_f64(vy)
         v = v.at[:, :, 0, off:off + m].set(vh).at[:, :, 1, off:off + m].set(vl)
 
-    # ---- per-fold K/C vectors: [center p|q, reciprocal std i1|i2] ---------
-    kvec = jnp.zeros((f_folds, 2, 2, kp), jnp.float32)
-    cvec = jnp.zeros((f_folds, 2, 2, cp), jnp.float32)
-    # reciprocal-std rows default to exact 1.0 (padding included: padded
-    # output columns then read total=0 * 1 - 0 = 0).
-    kvec = kvec.at[:, 1, 0, :].set(1.0)
-    cvec = cvec.at[:, 1, 0, :].set(1.0)
+    # ---- per-fold K/C vectors (FACTOR form: stds folded into p/q) ---------
+    i1 = i2 = p_vec = q_vec = None
     if scale:
         if r1 is not None:
-            kvec = _pair_into(kvec, r1[:, 0, :], 1)
-        i2_parts = []
-        if return_XTX:
-            i2_parts.append(
-                r1[:, 0, :] if r1 is not None
-                else jnp.ones((f_folds, k), f64)
-            )
-        if return_XTY:
-            i2_parts.append(
-                r2y[:, 0, :] if r2y is not None
-                else jnp.ones((f_folds, m), f64)
-            )
-        i2 = (
-            jnp.concatenate(i2_parts, axis=1)
-            if len(i2_parts) > 1 else i2_parts[0]
+            i1 = r1[:, 0, :]
+        i2 = _xy_concat(
+            (r1[:, 0, :] if r1 is not None
+             else jnp.ones((f_folds, k), f64)) if return_XTX else None,
+            (r2y[:, 0, :] if r2y is not None
+             else jnp.ones((f_folds, m), f64)) if return_XTY else None,
         )
-        cvec = _pair_into(cvec, i2, 1)
     if center:
         mX = X_mean[:, 0, :].astype(f64)
         p_vec = sum_w_train.astype(f64)[:, None] * mX
         if r1 is not None:
             p_vec = p_vec * r1[:, 0, :]
-        kvec = _pair_into(kvec, p_vec, 0)
-        q_parts = []
-        if return_XTX:
-            q_parts.append(
-                (mX * r1[:, 0, :] if r1 is not None else mX)
-                if center_xtx else jnp.zeros((f_folds, k), f64)
-            )
-        if return_XTY:
-            if center_xty:
-                mY = Y_mean[:, 0, :].astype(f64)
-                q_parts.append(mY * r2y[:, 0, :] if r2y is not None else mY)
-            else:
-                q_parts.append(jnp.zeros((f_folds, m), f64))
-        q_vec = (
-            jnp.concatenate(q_parts, axis=1)
-            if len(q_parts) > 1 else q_parts[0]
+        if center_xty and return_XTY:
+            mY = Y_mean[:, 0, :].astype(f64)
+            qy = mY * r2y[:, 0, :] if r2y is not None else mY
+        else:
+            qy = jnp.zeros((f_folds, m), f64) if return_XTY else None
+        q_vec = _xy_concat(
+            ((mX * r1[:, 0, :] if r1 is not None else mX)
+             if center_xtx else jnp.zeros((f_folds, k), f64))
+            if return_XTX else None,
+            qy,
         )
-        cvec = _pair_into(cvec, q_vec, 0)
+    kvec, cvec = _pack_kc_vectors(f_folds, kp, cp, scale=scale,
+                                  center=center, i1=i1, i2=i2,
+                                  p_vec=p_vec, q_vec=q_vec)
 
     # ---- total (4 or 2, Kp, Cp): hi, lo [, split(hi)] ----------------------
     # Presplitting the total's hi part saves 4 kernel flops/element but
@@ -1018,47 +1031,29 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
             )(xvp, m2p)
         prod_hi, prod_lo = df_from_f64(prod64)
 
-    kvec = jnp.zeros((f_folds, 2, 2, kp), jnp.float32)
-    cvec = jnp.zeros((f_folds, 2, 2, cp), jnp.float32)
-    kvec = kvec.at[:, 1, 0, :].set(1.0)
-    cvec = cvec.at[:, 1, 0, :].set(1.0)
+    # Per-fold K/C vectors (REFERENCE form: p/q unscaled, stds in i1/i2).
+    i1 = i2 = p_vec = q_vec = None
     if scale:
         if config.scale_X:
-            kvec = _pair_into(kvec, (1.0 / X_std[:, 0, :]).astype(f64), 1)
-        i2_parts = []
-        if return_XTX:
-            i2_parts.append(
-                (1.0 / X_std[:, 0, :]).astype(f64) if config.scale_X
-                else jnp.ones((f_folds, k), f64)
-            )
-        if return_XTY:
-            i2_parts.append(
-                (1.0 / Y_std[:, 0, :]).astype(f64) if config.scale_Y
-                else jnp.ones((f_folds, m), f64)
-            )
-        i2 = (
-            jnp.concatenate(i2_parts, axis=1)
-            if len(i2_parts) > 1 else i2_parts[0]
+            i1 = (1.0 / X_std[:, 0, :]).astype(f64)
+        i2 = _xy_concat(
+            ((1.0 / X_std[:, 0, :]).astype(f64) if config.scale_X
+             else jnp.ones((f_folds, k), f64)) if return_XTX else None,
+            ((1.0 / Y_std[:, 0, :]).astype(f64) if config.scale_Y
+             else jnp.ones((f_folds, m), f64)) if return_XTY else None,
         )
-        cvec = _pair_into(cvec, i2, 1)
     if center:
         mX = X_mean[:, 0, :].astype(f64)
-        kvec = _pair_into(kvec, sum_w_train.astype(f64)[:, None] * mX, 0)
-        q_parts = []
-        if return_XTX:
-            q_parts.append(
-                mX if center_xtx else jnp.zeros((f_folds, k), f64)
-            )
-        if return_XTY:
-            q_parts.append(
-                Y_mean[:, 0, :].astype(f64) if center_xty
-                else jnp.zeros((f_folds, m), f64)
-            )
-        q_vec = (
-            jnp.concatenate(q_parts, axis=1)
-            if len(q_parts) > 1 else q_parts[0]
+        p_vec = sum_w_train.astype(f64)[:, None] * mX
+        q_vec = _xy_concat(
+            (mX if center_xtx else jnp.zeros((f_folds, k), f64))
+            if return_XTX else None,
+            (Y_mean[:, 0, :].astype(f64) if center_xty
+             else jnp.zeros((f_folds, m), f64)) if return_XTY else None,
         )
-        cvec = _pair_into(cvec, q_vec, 0)
+    kvec, cvec = _pack_kc_vectors(f_folds, kp, cp, scale=scale,
+                                  center=center, i1=i1, i2=i2,
+                                  p_vec=p_vec, q_vec=q_vec)
 
     if total_planes is None:
         total_planes = _total_planes(state, return_XTX, return_XTY, kp, cp,
