@@ -27,11 +27,13 @@ def run(kernel, name):
     dt = time.perf_counter() - t0
     gbps = F * B * B * 4 * 2 / dt / 1e9
     print(f"{name}: {dt*1e6/F:.2f} us/step, {gbps:.0f} GB/s r+w", flush=True)
-    # correctness spot-check on one block
+    # correctness spot-check on one block — against THIS run's own input
+    # (each run draws fresh data, so cross-run comparison would be noise)
     y = f(x)
-    return y
+    return x, y
 
-y1 = run(copy_k, "copy3d")
-y2 = run(trans_k, "transpose")
-np.testing.assert_array_equal(np.asarray(y2[3]), np.asarray(y1[3]).T)
+x1, y1 = run(copy_k, "copy3d")
+x2, y2 = run(trans_k, "transpose")
+np.testing.assert_array_equal(np.asarray(y1[3]), np.asarray(x1[3]))
+np.testing.assert_array_equal(np.asarray(y2[3]), np.asarray(x2[3]).T)
 print("transpose correct", flush=True)

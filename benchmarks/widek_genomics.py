@@ -45,11 +45,21 @@ def consume(mats, stats):
     # device-resident consumption: diagonal + first row of the solve target
     return {"diag_mean": jnp.mean(jnp.diagonal(xtx)), "xty0": xty[:, 0]}
 
-# spot check vs xla impl on one fold BEFORE donating the state
-o2 = cross_validate_reduce(cfg, state, idx[:1], None if mask is None else mask[:1], reduce_fn=consume,
-                           batch_size=1, impl="xla")
-xla_diag = float(o2["diag_mean"][0])
-o2 = None
+# Spot check vs the XLA engine on one fold BEFORE donating the state.
+# On the HOST backend: the TPU XLA fold path at K=20k materialises
+# several 20480^2 f32 slice-group temps (measured 28 G > 15.75 G HBM),
+# while CPU runs the same engine with native f64 — the reference-grade
+# comparison anyway. The fitted state transfers as its f64 values.
+cpu0 = jax.devices("cpu")[0]
+state_h = jax.device_put(state, cpu0)
+with jax.default_device(cpu0):
+    o2 = cross_validate_reduce(cfg, state_h,
+                               jax.device_put(idx[:1], cpu0),
+                               None if mask is None
+                               else jax.device_put(mask[:1], cpu0),
+                               reduce_fn=consume, batch_size=1, impl="xla")
+    xla_diag = float(o2["diag_mean"][0])
+o2 = state_h = None
 
 t0 = time.perf_counter()
 out = cross_validate_reduce(cfg, state, idx, mask, reduce_fn=consume,

@@ -485,7 +485,11 @@ def _v3_sweep_loop(config, src, bs, n_chunks, return_XTY):
         None if src.mask2d is None
         else src.mask2d.reshape(-1).astype(jnp.float32)
     )
-    lp = src.lp
+    # Static fold width from the idx SHAPE, not the ``lp`` field: when the
+    # sources pytree crosses a jit boundary as an argument (diagnostics do
+    # this; materialize_cv builds it inside the trace), the int leaf is
+    # traced and a traced slice SIZE raises TracerIntegerConversionError.
+    lp = src.idx.shape[1]
 
     def body(c, carry):
         rows = jax.lax.dynamic_slice_in_dim(

@@ -1129,26 +1129,40 @@ def _df64_loocv_sym_kernel(idx_ref, total_ref, xw_ref, xu_ref, yu_ref,
     uhh, uhl = split(u[0])
     vhh, vhl = split(v[0])
 
+    # Mosaic cannot broadcast lane-offset slices of COMPUTED vectors (the
+    # (1, kp) values above live in registers; a [j*bt:(j+1)*bt] slice keeps
+    # lane offset j*bt in its layout, and vector.broadcast rejects offsets
+    # >= the 128-lane tile — probed on the real lowering, 2026-08-18).
+    # Reshaping once per fold to (n_t, bt) makes every tile piece a
+    # sublane row at lane offset 0, which lowers cleanly.
+    def r2(vec):
+        return vec.reshape(n_t, bt)
+
+    u0, u1, uhh, uhl = r2(u[0]), r2(u[1]), r2(uhh), r2(uhl)
+    v0, v1, vhh, vhl = r2(v[0]), r2(v[1]), r2(vhh), r2(vhl)
+    pq2 = None if pq_vec is None else tuple(r2(p) for p in pq_vec)
+    i122 = None if i12_vec is None else tuple(r2(p) for p in i12_vec)
+
     def colpc(vec, r):
-        return vec[0, r * bt:(r + 1) * bt][:, None]
+        return vec[r, :][:, None]
 
     def rowpc(vec, c):
-        return vec[0, c * bt:(c + 1) * bt][None, :]
+        return vec[c:c + 1, :]
 
     for i in range(n_t):
         for j in range(i, n_t):
             d_h, d_l = df_mul_presplit(
-                colpc(u[0], i), colpc(u[1], i), colpc(uhh, i), colpc(uhl, i),
-                rowpc(v[0], j), rowpc(v[1], j), rowpc(vhh, j), rowpc(vhl, j),
+                colpc(u0, i), colpc(u1, i), colpc(uhh, i), colpc(uhl, i),
+                rowpc(v0, j), rowpc(v1, j), rowpc(vhh, j), rowpc(vhl, j),
             )
             pq = None
             if center:
-                pq = (colpc(pq_vec[0], i), colpc(pq_vec[1], i),
-                      rowpc(pq_vec[2], j), rowpc(pq_vec[3], j))
+                pq = (colpc(pq2[0], i), colpc(pq2[1], i),
+                      rowpc(pq2[2], j), rowpc(pq2[3], j))
             i12 = None
             if scale:
-                i12 = (colpc(i12_vec[0], i), colpc(i12_vec[1], i),
-                       rowpc(i12_vec[2], j), rowpc(i12_vec[3], j))
+                i12 = (colpc(i122[0], i), colpc(i122[1], i),
+                       rowpc(i122[2], j), rowpc(i122[3], j))
             tt = [
                 total_ref[p, i * bt:(i + 1) * bt, j * bt:(j + 1) * bt]
                 for p in range(n_planes)
@@ -2151,8 +2165,17 @@ def _ozaki_v3_sym_tiles(total_tile, sa, sb_rev, pa, pb, gx, sxv, yvec,
     n_t = kp // bt
     sa_flat = sa.reshape(sp * lp, kp)
     sb_flat = sb_rev.reshape(sp * lp, cp)
-    pa1, pa2 = pa[0:1, :], pa[1:2, :]
-    pb1, pb2 = pb[0:1, :], pb[1:2, :]
+
+    # (1, kp) -> (n_t, bt): tile pieces as sublane rows at lane offset 0.
+    # Mosaic cannot broadcast lane-offset slices of computed vectors (see
+    # _df64_loocv_sym_kernel); kp == cp is enforced by every v3 caller, so
+    # the reshape is valid for both row and column vectors (and trivial in
+    # the full-math n_t == 1 instance).
+    def r2(vec):
+        return vec.reshape(n_t, bt)
+
+    pa1, pa2 = r2(pa[0:1, :]), r2(pa[1:2, :])
+    pb1, pb2 = r2(pb[0:1, :]), r2(pb[1:2, :])
 
     prods = {}
     for i in range(n_t):
@@ -2183,10 +2206,10 @@ def _ozaki_v3_sym_tiles(total_tile, sa, sb_rev, pa, pb, gx, sxv, yvec,
                 acc_l = acc_l + e
             # Same sequential exact power-of-two scaling order as the full
             # math (each factor column-sliced to the tile).
-            fa1 = pa1[0, i * bt:(i + 1) * bt][:, None]
-            fa2 = pa2[0, i * bt:(i + 1) * bt][:, None]
-            fb1 = pb1[0, j * bt:(j + 1) * bt][None, :]
-            fb2 = pb2[0, j * bt:(j + 1) * bt][None, :]
+            fa1 = pa1[i, :][:, None]
+            fa2 = pa2[i, :][:, None]
+            fb1 = pb1[j:j + 1, :]
+            fb2 = pb2[j:j + 1, :]
             prods[(i, j)] = (acc_h * fa1 * fb1 * fa2 * fb2,
                              acc_l * fa1 * fb1 * fa2 * fb2)
 
@@ -2239,22 +2262,20 @@ def _ozaki_v3_sym_tiles(total_tile, sa, sb_rev, pa, pb, gx, sxv, yvec,
               jnp.where(ymask > 0, i2y[1], i1[1]))
         i12_vec = (i1[0], i1[1], i2[0], i2[1])
 
+    pq2 = None if pq_vec is None else tuple(r2(p) for p in pq_vec)
+    i122 = None if i12_vec is None else tuple(r2(p) for p in i12_vec)
     out = []
     for i in range(n_t):
         for j in range(i, n_t):
             d_h, d_l = prods[(i, j)]
             pq = None
             if center:
-                pq = (pq_vec[0][0, i * bt:(i + 1) * bt][:, None],
-                      pq_vec[1][0, i * bt:(i + 1) * bt][:, None],
-                      pq_vec[2][0, j * bt:(j + 1) * bt][None, :],
-                      pq_vec[3][0, j * bt:(j + 1) * bt][None, :])
+                pq = (pq2[0][i, :][:, None], pq2[1][i, :][:, None],
+                      pq2[2][j:j + 1, :], pq2[3][j:j + 1, :])
             i12 = None
             if scale:
-                i12 = (i12_vec[0][0, i * bt:(i + 1) * bt][:, None],
-                       i12_vec[1][0, i * bt:(i + 1) * bt][:, None],
-                       i12_vec[2][0, j * bt:(j + 1) * bt][None, :],
-                       i12_vec[3][0, j * bt:(j + 1) * bt][None, :])
+                i12 = (i122[0][i, :][:, None], i122[1][i, :][:, None],
+                       i122[2][j:j + 1, :], i122[3][j:j + 1, :])
             tt = [total_tile(0, i, j), total_tile(1, i, j)]
             oh, ol = _df64_ref_epilogue_vals(tt, d_h, d_l, pq, i12)
             out.append((i, j, oh, ol))

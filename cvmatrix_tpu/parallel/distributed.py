@@ -187,7 +187,31 @@ def _gather_sources(config: CVConfig, state: FitState, return_XTY: bool):
     return sources
 
 
-def _local_gather_scatter(arrs, idx, shard_rows):
+def _psum_scatter_split64(x):
+    """Fold-axis reduce-scatter of 64-bit data as three exact f32 planes.
+
+    The TPU X64-rewrite pass implements elementwise f64 arithmetic but NOT
+    64-bit reduce-scatter (nor 64<->32 bitcast-convert) — probed on v5e,
+    2026-08-18. Every element of ``x`` is nonzero on exactly ONE shard (row
+    ownership partitions the dataset, and non-owners contribute exact
+    zeros), so the collective sum is a SELECTION and scattering the exact
+    Dekker-style split ``x == s1 + s2 + s3`` (f32 planes; each residual
+    subtraction is exact, and 3 x 24 mantissa bits cover f64's 53)
+    plane-wise reproduces ``x`` bit-for-bit on the owner's value. Exactness
+    holds while the planes stay inside f32's exponent range — the same
+    range contract the df64 fold kernels downstream already carry.
+    """
+    f64 = x.dtype
+    s1 = x.astype(jnp.float32)
+    r1 = x - s1.astype(f64)
+    s2 = r1.astype(jnp.float32)
+    s3 = (r1 - s2.astype(f64)).astype(jnp.float32)
+    planes = jnp.stack([s1, s2, s3], axis=-1)
+    y = jax.lax.psum_scatter(planes, ROWS, scatter_dimension=0, tiled=True)
+    return (y[..., 0].astype(f64) + y[..., 1].astype(f64)) + y[..., 2].astype(f64)
+
+
+def _local_gather_scatter(arrs, idx, shard_rows, split64=False):
     """Fold-sharded mask-and-reduce-scatter row gather (inside ``shard_map``).
 
     ``idx``: (F, L) global row indices; this shard owns rows
@@ -215,10 +239,13 @@ def _local_gather_scatter(arrs, idx, shard_rows):
         rows = a[lc]  # (F, L, C)
         parts.append(jnp.where(inb[..., None], rows, 0))
         widths.append(rows.shape[-1])
-    fused = jax.lax.psum_scatter(
-        jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0],
-        ROWS, scatter_dimension=0, tiled=True,
-    )
+    stacked = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+    if split64 and stacked.dtype.itemsize == 8:
+        fused = _psum_scatter_split64(stacked)
+    else:
+        fused = jax.lax.psum_scatter(
+            stacked, ROWS, scatter_dimension=0, tiled=True,
+        )
     out = {}
     off = 0
     for k, c in zip(arrs, widths):
@@ -270,8 +297,12 @@ def _gather_program(mesh: Mesh, names: tuple, shard_rows: int):
     """Cached jitted reduce-scatter gather (fresh per-call wrappers
     recompile the whole program every invocation — module-level caching is
     mandatory for warm sweeps). Output is fold-sharded over the mesh."""
+    # TPU lowering cannot reduce-scatter 64-bit element types (see
+    # _psum_scatter_split64); CPU meshes keep the native f64 collective.
+    split64 = next(iter(mesh.devices.flat)).platform == "tpu"
     return jax.jit(jax.shard_map(
-        lambda arrs, idx: _local_gather_scatter(arrs, idx, shard_rows),
+        lambda arrs, idx: _local_gather_scatter(arrs, idx, shard_rows,
+                                                split64=split64),
         mesh=mesh,
         in_specs=({k: P(ROWS, None) for k in names}, P()),
         out_specs={k: P(ROWS) for k in names},
