@@ -2070,11 +2070,12 @@ _V3_TAIL_START = 5
 
 # Trim budget default lives in cvmatrix_tpu.policy (in-process A/B via
 # set_routing; env var CVMATRIX_TPU_OZAKI_BUDGET_LOG2 is a debug
-# override). The default 2^-36 sits ~2 decades below the pipeline's other
-# error sources. The budget needed to drop a product group depends on the
-# fold bracket (error bound scales with Lp): -33 sheds one group at Lp=32
-# (P=10000 at bench N), -31 at Lp=128 (P=1000) as well — still inside the
-# reference's 1e-8 contract at bench scale (~2e-9 absolute).
+# override). Default -31 since the 2026-08-18 v5e A/B (fold phase -28% at
+# P=1000, -6% at P=10000; see RoutingPolicy): it sheds one product group
+# at both mid-band brackets (Lp=128 and Lp=32 at bench N) while the
+# trimmed tail stays >= 1 decade inside the reference's 1e-8 contract at
+# bench scale (~5e-10 of the column-scale product); -36 gives ~2 decades
+# of headroom for callers who want it.
 
 
 def ozaki_trim_groups(n_l: int, *, n_slices: int = 10,
@@ -2085,11 +2086,12 @@ def ozaki_trim_groups(n_l: int, *, n_slices: int = 10,
     ``(s+1) * Lp * 2^(-T_BITS * s)`` relative to the per-column scale
     product ``pa (x) pb``, so the tail dropped by keeping ``Sp`` groups is
     under ``1.2 * (Sp+1) * Lp * 2^(-T_BITS * Sp)``. The default budget
-    2^-36 (of the column-scale product; override via
-    ``CVMATRIX_TPU_OZAKI_BUDGET_LOG2``) sits ~2 decades below the fold
-    pipeline's other error sources (the f32-pair total representation at
-    ~2^-48 relative and the double-float statistics chain) and ~3 decades
-    inside the reference's 1e-8 test contract at bench scale.
+    (``policy().ozaki_budget_log2``, -31 per the recorded hardware A/B;
+    override per-call or via ``CVMATRIX_TPU_OZAKI_BUDGET_LOG2``) keeps the
+    trimmed tail comparable to the fold pipeline's other error sources
+    (the f32-pair total representation at ~2^-48 relative and the
+    double-float statistics chain) and >= 1 decade inside the reference's
+    1e-8 test contract at bench scale.
     """
     if budget_log2 is None:
         from ..policy import policy

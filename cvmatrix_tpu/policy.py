@@ -42,15 +42,20 @@ class RoutingPolicy:
         SYRK contraction for the wide-K batched fold downdate product.
     ozaki_budget_log2
         Trim budget (log2, relative to the per-column scale product) for
-        dropping trailing Ozaki slice-product groups; -36 sits ~2 decades
-        below the pipeline's other error sources.
+        dropping trailing Ozaki slice-product groups. Default -31 (flipped
+        from -36 on the 2026-08-18 v5e A/B: weighted TTTT fold phase
+        0.149 s -> 0.108 s at P=1000 and 0.231 s -> 0.216 s at P=10000 at
+        the bench grid, with the trimmed tail ~4.7e-10 of the column-scale
+        product — still >= 1 decade inside the reference's 1e-8 contract
+        at bench scale and comparable to the pipeline's other error
+        sources; -36 remains available for extra headroom).
     """
 
     sym_loocv: bool = False
     f32x2: bool = False
     df64x2: bool = False
     batch_syrk: bool = False
-    ozaki_budget_log2: int = -36
+    ozaki_budget_log2: int = -31
 
 
 def _env_policy() -> RoutingPolicy:

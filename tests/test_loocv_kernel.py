@@ -285,12 +285,16 @@ def test_ozaki_v3_interpret_wiring():
 
 
 def test_ozaki_trim_groups_budget():
-    """Trim formula: tail bound within budget, monotone in fold rows."""
+    """Trim formula: tail bound within the ACTIVE budget, monotone in
+    fold rows (the default budget lives in policy.RoutingPolicy)."""
+    from cvmatrix_tpu import policy
+
     t = KK._OZAKI_T_BITS
+    budget = policy().ozaki_budget_log2
     for n_l in (1, 10, 32, 100, 128, 384):
         sp = KK.ozaki_trim_groups(n_l)
         lp = -(-max(n_l, 1) // 32) * 32
-        assert 1.2 * (sp + 1) * lp * 2.0 ** (-t * sp) <= 2.0 ** -36
+        assert 1.2 * (sp + 1) * lp * 2.0 ** (-t * sp) <= 2.0 ** budget
         assert sp <= 10
     assert KK.ozaki_trim_groups(10) <= KK.ozaki_trim_groups(384)
 

@@ -57,10 +57,11 @@ def test_set_routing_clears_program_caches():
 def test_ozaki_budget_flows_from_policy():
     from cvmatrix_tpu.ops.kernels import ozaki_trim_groups
 
+    set_routing(ozaki_budget_log2=-36)
     base = ozaki_trim_groups(32)
     set_routing(ozaki_budget_log2=-31)
     loose = ozaki_trim_groups(32)
-    assert loose <= base
+    assert loose < base
     assert ozaki_trim_groups(32, budget_log2=-36) == base  # explicit wins
 
 

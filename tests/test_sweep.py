@@ -303,10 +303,11 @@ def test_ozaki_budget_knob_trims_groups(monkeypatch):
     from cvmatrix_tpu.core import batch as B
     from cvmatrix_tpu.ops import kernels as KK
 
-    # Explicit-arg behaviour: looser budget -> fewer groups.
-    sp_default = KK.ozaki_trim_groups(40)
+    # Explicit-arg behaviour: looser budget -> fewer groups (pinned
+    # budgets so the check is independent of the shipped default).
+    sp_tight = KK.ozaki_trim_groups(40, budget_log2=-36)
     sp_loose = KK.ozaki_trim_groups(40, budget_log2=-32)
-    assert sp_loose == sp_default - 1
+    assert sp_loose == sp_tight - 1
 
     n, k, m = 400, 300, 5
     rng3 = np.random.default_rng(3)
@@ -314,10 +315,11 @@ def test_ozaki_budget_knob_trims_groups(monkeypatch):
     st = fit(cfg, rng3.random((n, k)), rng3.random((n, m)), rng3.random(n))
     idx = np.arange(80).reshape(2, 40)
 
-    src_full = B.prepare_ozaki_sources(cfg, st, idx)
     from cvmatrix_tpu import policy, set_routing
     before = policy().ozaki_budget_log2
     try:
+        set_routing(ozaki_budget_log2=-36)
+        src_full = B.prepare_ozaki_sources(cfg, st, idx)
         set_routing(ozaki_budget_log2=-32)
         src_trim = B.prepare_ozaki_sources(cfg, st, idx)
     finally:
