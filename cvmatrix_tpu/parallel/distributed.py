@@ -571,13 +571,17 @@ def _reduce_program_cached(config, mesh, names, weighted, impl_r, return_XTX,
     reduce_fn = reduce_carrier.value
     from ..core.batch import batched_matrices_from_blocks
 
+    # Same TPU 64-bit reduce-scatter constraint as _gather_program.
+    split64 = next(iter(mesh.devices.flat)).platform == "tpu"
+
     def body(srcs, st, ic, mc):
         def step(carry, chunk):
             ci, cm = chunk
             # Reduce-scatter gather: each device receives ONLY its
             # bs_local fold slice (1/n_dev the collective bytes of the
             # replicate-then-slice it replaces).
-            gathered = _local_gather_scatter(srcs, ci, shard_rows)
+            gathered = _local_gather_scatter(srcs, ci, shard_rows,
+                                             split64=split64)
             r0 = jax.lax.axis_index(ROWS) * bs_local
             my_mask = None if cm is None else jax.lax.dynamic_slice_in_dim(
                 cm, r0, bs_local, 0)
