@@ -44,11 +44,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # its own ~30 ms completion fetch over a remote tunnel.
 CSV_HEADER = (
     "model,weights,P,N,K,M,center_X,center_Y,scale_X,scale_Y,"
-    "time,fit_time,folds_time,folds_per_sec,gbps,barrier,version\n"
+    "time,fit_time,folds_time,folds_per_sec,gbps,barrier,version,date\n"
 )
 
 
 def save_row(csv_path, **kw):
+    # Every row carries its measurement date (UTC). The grid CSV is
+    # append-only across rounds; the plotting side selects the latest row
+    # per configuration EXPLICITLY (``plot_benchmark.latest_per_config``)
+    # instead of relying on implicit row order.
+    kw.setdefault("date", time.strftime("%Y-%m-%d", time.gmtime()))
     try:
         with open(csv_path, "x") as f:
             f.write(CSV_HEADER)

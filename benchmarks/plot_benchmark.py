@@ -23,6 +23,42 @@ import pandas as pd
 
 FLAG_COLS = ["center_X", "center_Y", "scale_X", "scale_Y"]
 
+# One benchmark configuration = one curve point. The grid CSV is
+# append-only across measurement rounds, so several rows can share a key;
+# exactly one (the latest) may feed a figure.
+CONFIG_KEY = ["model", "weights", "P", "N", "K", "M"] + FLAG_COLS
+
+
+def latest_per_config(df, warn=True):
+    """Keep the newest row per benchmark configuration, explicitly.
+
+    Newest = max ``date`` (appended row order breaks same-day ties; rows
+    without a date sort oldest). When the SURVIVING frame still mixes
+    dates — i.e. some configurations were last measured in an older round
+    than others — emit a warning naming the stale dates, so a figure
+    silently blending rounds is visible in the plot logs.
+    """
+    df = df.reset_index(drop=True)
+    order = df.index.to_series(name="_order")
+    date = (df["date"].fillna("") if "date" in df.columns
+            else pd.Series("", index=df.index)).astype(str)
+    key = [c for c in CONFIG_KEY if c in df.columns]
+    picked = (
+        df.assign(_order=order, _date=date)
+        .sort_values(["_date", "_order"])
+        .groupby(key, dropna=False, as_index=False)
+        .last()
+    )
+    dates = sorted(d for d in picked["_date"].unique() if d)
+    if warn and len(dates) > 1:
+        print(
+            f"latest_per_config: figure mixes measurement dates {dates} — "
+            f"{int((picked['_date'] != dates[-1]).sum())} of {len(picked)} "
+            "configs were not re-measured on the newest date",
+            file=sys.stderr,
+        )
+    return picked.drop(columns=["_order", "_date"])
+
 
 def flag_label(row):
     return "".join("T" if row[c] in (True, "True") else "F" for c in FLAG_COLS)
@@ -125,9 +161,7 @@ def plot_jit_modes(df, out):
     for (mode, flags), g in fast.groupby(["mode", "flags"]):
         if mode not in style:
             continue
-        # Keep the LAST row per P (latest measurement wins, like the
-        # grid CSV's append-only convention).
-        g = g.sort_values("P").groupby("P", as_index=False).last()
+        g = g.sort_values("P")
         ax.loglog(g.P, g.time, alpha=0.8, label=f"{mode} {flags}",
                   **style[mode])
     ax.set_xlabel("P (folds)")
@@ -141,7 +175,7 @@ def plot_jit_modes(df, out):
 
 if __name__ == "__main__":
     csv = sys.argv[1] if len(sys.argv) > 1 else "benchmark_results.csv"
-    df = pd.read_csv(csv)
+    df = latest_per_config(pd.read_csv(csv))
     base = os.path.splitext(csv)[0]
     plot_vs_naive(df, base + "_vs_naive.png")
     plot_combos(df, base + "_combos.png")

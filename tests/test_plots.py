@@ -57,6 +57,41 @@ def test_figure_families_render(tmp_path, fn, name):
     assert os.path.exists(out) and os.path.getsize(out) > 1000
 
 
+def test_latest_per_config_selector(capsys):
+    """Appended re-measurements win; stale date mixes warn.
+
+    The grid CSV is append-only across rounds (``benchmarks/README.md``);
+    figures must come from an EXPLICIT latest-per-config frame, not
+    implicit row order (VERDICT r3 weak #7).
+    """
+    base = _rows().assign(date="2026-08-01")
+    # Re-measure ONE config on a later date with a different time.
+    rerun = base.iloc[[0]].assign(date="2026-08-18", time=0.123)
+    df = pd.concat([base, rerun], ignore_index=True)
+    picked = plot_benchmark.latest_per_config(df)
+    # one row per config key survives
+    assert len(picked) == len(base)
+    key = [c for c in plot_benchmark.CONFIG_KEY if c in df.columns]
+    m = picked.merge(rerun[key], on=key)
+    assert list(m.time) == [0.123] and list(m.date) == ["2026-08-18"]
+    # the mixed-dates warning names both dates
+    err = capsys.readouterr().err
+    assert "2026-08-01" in err and "2026-08-18" in err
+
+    # same-date re-runs: appended row order breaks the tie
+    dup = pd.concat([base, base.iloc[[3]].assign(time=9.9)],
+                    ignore_index=True)
+    picked = plot_benchmark.latest_per_config(dup, warn=False)
+    assert len(picked) == len(base)
+    m = picked.merge(base.iloc[[3]][key], on=key)
+    assert list(m.time) == [9.9]
+
+    # no date column at all: pure row order, no crash
+    picked = plot_benchmark.latest_per_config(
+        dup.drop(columns=["date"]), warn=False)
+    assert len(picked) == len(base)
+
+
 def test_jit_modes_skips_single_mode(tmp_path):
     """With only warmjit rows the comparison figure is (correctly) skipped."""
     df = _rows()
