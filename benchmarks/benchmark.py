@@ -308,10 +308,26 @@ def main():
         except Exception as e:  # CPU or probe failure: fall back
             print(f"store-bw probe skipped: {e}", flush=True)
 
-    rng = np.random.default_rng(42)
-    X = rng.random((N, K)).astype(dtype)
-    Y = rng.random((N, M)).astype(dtype)
-    weights = rng.random(N).astype(dtype)
+    if os.environ.get("BENCH_DATA", "random") == "nir":
+        # The NIR grain dataset: real when CVMATRIX_TPU_NIR_CSV points at a
+        # local copy, the synthetic analogue otherwise (tests/data.py).
+        # Shapes come from the data (26617 x 102); BENCH_N/K are ignored.
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests"))
+        from data import nir_dataset
+
+        Xn, Yn, _, wn = nir_dataset(m=min(M, 10))
+        X = Xn.astype(dtype)
+        Y = Yn.astype(dtype)
+        weights = wn.astype(dtype)
+        N, K = X.shape
+        M = Y.shape[1]
+        print(f"BENCH_DATA=nir: N={N} K={K} M={M}", flush=True)
+    else:
+        rng = np.random.default_rng(42)
+        X = rng.random((N, K)).astype(dtype)
+        Y = rng.random((N, M)).astype(dtype)
+        weights = rng.random(N).astype(dtype)
     platform = jax.devices()[0].platform
 
     naive_only = os.environ.get("BENCH_NAIVE_ONLY", "0") == "1"

@@ -10,9 +10,74 @@ with a zeroed fraction.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 SEED = 42
+
+# The reference's real NIR grain dataset (26617x102 spectra + 10 ground-truth
+# columns + a 3-valued 'split'), csv/npz layout as published at
+# github.com/Sm00thix/IKPLSTestData (ref ``tests/load_data.py:28-69``).
+# Protein/Moisture lead so ``Y[:, :2]`` are the natural regression targets
+# (the columns the reference tests regress on, ref ``test_cvmatrix.py:48-49``).
+NIR_VALUE_COLS = [
+    "Protein", "Moisture", "Rye_Midsummer", "Wheat_H1", "Wheat_H3",
+    "Wheat_H4", "Wheat_H5", "Wheat_Halland", "Wheat_Oland", "Wheat_Spelt",
+]
+
+
+def load_real_nir():
+    """Load the reference's real NIR dataset from local files, if pointed to.
+
+    This environment has no network egress, so instead of downloading
+    (ref ``tests/load_data.py:31-69``) the loader reads local copies:
+
+    - ``CVMATRIX_TPU_NIR_CSV``: path to ``dataset.csv`` (11 ground-truth
+      columns incl. ``split``).
+    - ``CVMATRIX_TPU_NIR_SPECTRA``: path to ``spectra.npz`` (reflectance
+      spectra; stacked and ``-log10``-transformed exactly like the
+      reference). Defaults to ``spectra.npz`` next to the csv.
+
+    Returns ``(X, Y, folds, weights)`` — weights are synthetic (the real
+    dataset has none; the reference tests also draw random weights,
+    ref ``test_cvmatrix.py:109-122``) — or ``None`` when the env var is
+    unset (the synthetic fallback path).
+    """
+    csv_path = os.environ.get("CVMATRIX_TPU_NIR_CSV")
+    if not csv_path:
+        return None
+    spectra_path = os.environ.get(
+        "CVMATRIX_TPU_NIR_SPECTRA",
+        os.path.join(os.path.dirname(csv_path) or ".", "spectra.npz"),
+    )
+    npz = np.load(spectra_path)
+    spectra = np.vstack([npz[k] for k in npz.keys()]).astype(np.float64)
+    X = -np.log10(spectra)  # reflectance -> pseudo absorbance (ref :69)
+    table = np.genfromtxt(csv_path, delimiter=",", names=True)
+    Y = np.stack([table[c].astype(np.float64) for c in NIR_VALUE_COLS], axis=1)
+    folds = table["split"].astype(int)
+    if X.shape[0] != Y.shape[0]:
+        raise ValueError(
+            f"NIR spectra rows ({X.shape[0]}) != csv rows ({Y.shape[0]})"
+        )
+    weights = np.random.default_rng(SEED).random(X.shape[0])
+    return X, Y, folds, weights
+
+
+def nir_dataset(m: int = 10):
+    """Real NIR data when ``CVMATRIX_TPU_NIR_CSV`` is set, else synthetic.
+
+    The differential suites (``tests/test_realscale.py``) and the benchmark
+    harness (``BENCH_DATA=nir``) call this, so pointing the env var at a
+    local copy of the dataset runs the identical parity lattice on the real
+    distribution — the opt-in the egress-free default cannot provide.
+    """
+    real = load_real_nir()
+    if real is not None:
+        X, Y, folds, weights = real
+        return X, Y[:, :m], folds, weights
+    return make_nir_like_dataset(m=m)
 
 
 def make_dataset(n: int = 600, k: int = 8, m: int = 2, seed: int = SEED):

@@ -19,12 +19,15 @@ from numpy.testing import assert_allclose
 
 from cvmatrix_tpu import CVMatrix, Partitioner
 
-from .data import make_nir_like_dataset, train_indices, zero_fraction
+from .data import nir_dataset, train_indices, zero_fraction
 from .oracle import NaiveOracle
 
 ATOL = 1e-8
 
-X_NIR, Y_NIR, SPLIT, W_NIR = make_nir_like_dataset()
+# Real NIR grain data when CVMATRIX_TPU_NIR_CSV points at a local copy
+# (see tests/data.py:load_real_nir), the deterministic synthetic analogue
+# otherwise — the whole lattice below runs unchanged on either.
+X_NIR, Y_NIR, SPLIT, W_NIR = nir_dataset()
 
 
 def _check_fold(fast, naive, vi, ti, msg):
