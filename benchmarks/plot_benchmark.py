@@ -149,13 +149,14 @@ def plot_jit_modes(df, out):
     if fast.empty:
         return
     fast["mode"] = fast.model.str.rsplit("-", n=1).str[-1]
-    modes = [m for m in ("nojit", "coldjit", "warmjit")
+    modes = [m for m in ("nojit", "coldjit", "aotcold", "warmjit")
              if (fast["mode"] == m).any()]
     if len(modes) < 2:
         return  # nothing to compare
     fast["flags"] = fast.apply(flag_label, axis=1)
     style = {"nojit": dict(ls=":", marker="x"),
              "coldjit": dict(ls="--", marker="s"),
+             "aotcold": dict(ls="-.", marker="d"),
              "warmjit": dict(ls="-", marker="o")}
     fig, ax = plt.subplots(figsize=(6, 6))
     for (mode, flags), g in fast.groupby(["mode", "flags"]):
