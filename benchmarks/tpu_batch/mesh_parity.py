@@ -39,6 +39,7 @@ def main():
     K = int(os.environ.get("BENCH_K", 100))
     M = int(os.environ.get("BENCH_M", 5))
     P = int(os.environ.get("BENCH_PS", "16"))
+    impl = os.environ.get("BENCH_IMPL", "pallas")
 
     rng = np.random.default_rng(7)
     X = rng.random((N, K))
@@ -54,22 +55,33 @@ def main():
 
     mesh = make_mesh(jax.devices()[:1])
     (xtx_b, xty_b), _stats = sharded_training_matrices(
-        cfg, state, idx, mesh=mesh, impl="auto"
+        cfg, state, idx, mesh=mesh, impl=impl
     )
-    xtx_b = np.asarray(xtx_b)
-    xty_b = np.asarray(xty_b)
+    # Device-resident: per-fold slices transfer below, so the host pull is
+    # 2 MB per CHECKED fold, not the whole (P, K, K) stack.
+    jax.block_until_ready(xtx_b)
 
     cvm = CVMatrix(True, True, True, True, ddof=1).fit(X, Y, w)
+    # At bench scale the eager reference loop ships ~2 MB/fold through the
+    # tunnel; BENCH_SAMPLE bounds the checked folds (random + both ends).
+    sample = int(os.environ.get("BENCH_SAMPLE", "0"))
+    if sample and sample < P:
+        check = np.unique(np.concatenate([
+            [0, P - 1], rng.choice(P, size=sample, replace=False)]))
+    else:
+        check = np.arange(P)
     worst_x = worst_y = 0.0
-    for f in range(P):
+    for f in check:
         (ex, ey), _ = cvm.training_XTX_XTY(idx[f])
-        worst_x = max(worst_x, float(np.max(np.abs(np.asarray(ex) - xtx_b[f]))))
-        worst_y = max(worst_y, float(np.max(np.abs(np.asarray(ey) - xty_b[f]))))
+        bx, by = np.asarray(xtx_b[f]), np.asarray(xty_b[f])
+        worst_x = max(worst_x, float(np.max(np.abs(np.asarray(ex) - bx))))
+        worst_y = max(worst_y, float(np.max(np.abs(np.asarray(ey) - by))))
 
     row = {
         "platform": jax.devices()[0].platform,
         "N": N, "K": K, "M": M, "P": P,
-        "impl": "auto",
+        "folds_checked": int(check.size),
+        "impl": impl,
         "max_abs_dXTX": worst_x,
         "max_abs_dXTY": worst_y,
         "contract": 1e-8,

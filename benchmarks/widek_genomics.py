@@ -5,7 +5,13 @@ CV routes through the MXU downdate-product + double-float epilogue kernel
 with device-resident consumption (cross_validate_reduce) and a donated
 state — a 20000 x 20000 float64 training matrix is 3.2 GB, so per-fold
 matrices are consumed on device rather than materialised en masse.
+
+Writes benchmarks/widek_genomics.json (merging one entry per routing
+variant, keyed ``default``/``syrk``) including the device HBM peak — the
+recorded evidence behind the "K=20k fits and cross-validates on one 16 GB
+chip" claim (CHANGELOG 0.2.0).
 """
+import json
 import os
 import sys
 
@@ -15,8 +21,15 @@ import numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_enable_x64", True)
 from cvmatrix_tpu import CVConfig, Partitioner, fit
 from cvmatrix_tpu.models.sweep import cross_validate_reduce
+from cvmatrix_tpu.policy import policy
 
 def log(*a): print(*a, file=sys.stderr, flush=True)
+
+def hbm_peak_gb():
+    stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
+    if not stats or "peak_bytes_in_use" not in stats:
+        return None
+    return round(stats["peak_bytes_in_use"] / 2**30, 3)
 
 N, K, M, P = 5000, 20000, 1, 10
 rng = np.random.default_rng(0)
@@ -82,4 +95,25 @@ float(out["diag_mean"][0])
 t_folds = time.perf_counter() - t0
 log(f"warm: fit={t_fit:.3f}s folds={t_folds:.3f}s "
     f"({P/(t_fit+t_folds):.2f} folds/s at K=20k)")
+
+variant = "syrk" if policy().batch_syrk else "default"
+row = {
+    "N": N, "K": K, "M": M, "P": P, "dtype": "float64",
+    "config": "TTTT", "platform": jax.devices()[0].platform,
+    "batch_syrk": policy().batch_syrk,
+    "warm_fit_s": round(t_fit, 3), "warm_folds_s": round(t_folds, 3),
+    "folds_per_sec": round(P / (t_fit + t_folds), 3),
+    "pallas_vs_xla_diag_abs_d": d,
+    "hbm_peak_gb": hbm_peak_gb(),
+}
+path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "widek_genomics.json")
+merged = {}
+if os.path.exists(path):
+    with open(path) as f:
+        merged = json.load(f)
+merged[variant] = row
+with open(path, "w") as f:
+    json.dump(merged, f, indent=1)
+print(json.dumps({variant: row}), flush=True)
 log("WIDEK OK")

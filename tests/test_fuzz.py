@@ -20,6 +20,10 @@ from cvmatrix_tpu import CVMatrix, Partitioner
 from .data import train_indices
 from .oracle import NaiveOracle
 
+# Randomized sweeps vs the oracle: thorough but long; the fast PR loop
+# keeps directed oracle coverage via tests/test_parity.py.
+pytestmark = pytest.mark.slow
+
 N_SCENARIOS = 24
 # One seed per round (VERDICT r2 task 10): each round ADDS 24 fresh
 # scenarios instead of re-checking the same ones; old seeds stay pinned

@@ -19,6 +19,10 @@ from numpy.testing import assert_allclose
 import jax.numpy as jnp
 
 from cvmatrix_tpu import CVConfig, fit
+
+# Interpret-mode Pallas lattices dominate the suite's wall time; the fast
+# PR loop (-m "not slow") keeps kernel coverage via tests/test_batch.py.
+pytestmark = pytest.mark.slow
 from cvmatrix_tpu.core import batch as B
 from cvmatrix_tpu.ops import kernels as KK
 from cvmatrix_tpu.ops.df64 import df_from_f64, df_to_f64, df_recip, df_sqrt

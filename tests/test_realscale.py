@@ -22,6 +22,10 @@ from cvmatrix_tpu import CVMatrix, Partitioner
 from .data import nir_dataset, train_indices, zero_fraction
 from .oracle import NaiveOracle
 
+# Full 16-combo lattice at NIR-dataset scale; the fast PR loop keeps the
+# same lattice at small N via tests/test_parity.py.
+pytestmark = pytest.mark.slow
+
 ATOL = 1e-8
 
 # Real NIR grain data when CVMATRIX_TPU_NIR_CSV points at a local copy
