@@ -54,6 +54,7 @@ __all__ = [
     "loocv_sym_from_sources",
     "loocv_sym_tile",
     "loocv_f32_from_sources",
+    "ozaki_v3_from_blocks",
     "ozaki_v3_from_sources",
     "ozaki_v3_ok",
     "prepare_fold_operands",
@@ -866,12 +867,26 @@ def batched_matrices_from_blocks(
         is_f64
         and n_l >= large_fold_threshold(config, state, return_XTX, return_XTY)
     ):
-        pair_out, stats, k, c = _large_fold_pallas_path(
-            config, state, None, None,
-            return_XTX=return_XTX, return_XTY=return_XTY,
-            blocks_stats=(blocks, stats5), interpret=interpret,
-        )
-        out = df_to_f64(pair_out[:, 0, :k, :c], pair_out[:, 1, :k, :c])
+        if ozaki_v3_ok(config, state, return_XTX, return_XTY, n_l):
+            # Same v3 fused route as the single-chip sweep: trimmed
+            # prefix-stack slice products (chunk-global column scales) beat
+            # the per-fold 10-slice shallow products the generic path pays
+            # — this is the mesh fold path's hot route at mid-band P.
+            k = state.K
+            c = k + ((state.M or 0) if return_XTY else 0)
+            pair_out = ozaki_v3_from_blocks(
+                config, state, blocks, stats5,
+                return_XTY=return_XTY, interpret=interpret,
+            )
+            stats = stats5[:4]
+            out = df_to_f64(pair_out[:, 0, :k, :c], pair_out[:, 1, :k, :c])
+        else:
+            pair_out, stats, k, c = _large_fold_pallas_path(
+                config, state, None, None,
+                return_XTX=return_XTX, return_XTY=return_XTY,
+                blocks_stats=(blocks, stats5), interpret=interpret,
+            )
+            out = df_to_f64(pair_out[:, 0, :k, :c], pair_out[:, 1, :k, :c])
     else:
         ops, stats = prepare_fold_operands(
             config, state, None,
@@ -1533,6 +1548,158 @@ def ozaki_v3_from_sources(config: CVConfig, src: OzakiSources, rows=None,
         src.yvec if yvec_slice is None else yvec_slice,
         src.ymask,
         src.scal if scal_slice is None else scal_slice,
+        center_xtx=config.center_X,
+        center_xty=config.center_X or config.center_Y,
+        scale_x=config.scale_X,
+        scale_y=config.scale_Y,
+        with_y=return_XTY,
+        resolution=config.resolution,
+        interpret=interpret,
+    )
+
+
+def _fold_scalar_stream_from_blocks(config, state, blocks, f_folds, n_l,
+                                    f64):
+    """(F, 1, 128) per-fold scalar pairs from pre-gathered blocks.
+
+    The from-blocks twin of :func:`_fold_scalar_stream` (same layout:
+    [sum_w_train, 1/sum_w_train, 1/std_divisor] as df pairs at columns
+    0/2/4) — the mesh fold path has the validation rows in hand, so the
+    weights come from ``blocks.w_val`` (already masked) instead of a
+    dataset gather. Reference scalars: ``cvmatrix/cvmatrix.py:589-630,
+    1045-1079``.
+    """
+    scal = jnp.zeros((f_folds, 1, 128), jnp.float32)
+    if blocks.w_val is not None:
+        wv = blocks.w_val[..., 0].astype(f64)  # (F, Lp), masked+padded zeros
+        sw_t = state.sum_w.astype(f64) - wv.sum(axis=1)
+        nnz_t = state.num_nonzero_w.astype(f64) - jnp.count_nonzero(
+            wv, axis=1
+        )
+    elif blocks.mask is not None:
+        sw_t = state.sum_w.astype(f64) - blocks.mask.astype(f64).sum(axis=1)
+        nnz_t = sw_t
+    else:
+        # Unweighted, unmasked: every fold removes exactly n_l unit rows
+        # (sum_w == nnz == N for unweighted fits, ref cvmatrix.py:1228-1229).
+        sw_t = jnp.broadcast_to(state.sum_w.astype(f64) - n_l, (f_folds,))
+        nnz_t = sw_t
+    divisor = (nnz_t - config.ddof) * sw_t / nnz_t
+    for col, val in ((0, sw_t), (2, 1.0 / sw_t), (4, 1.0 / divisor)):
+        hi, lo = df_from_f64(val)
+        scal = scal.at[:, 0, col].set(hi).at[:, 0, col + 1].set(lo)
+    return scal
+
+
+def ozaki_v3_from_blocks(config: CVConfig, state: FitState, blocks, stats5,
+                         *, return_XTY: bool, interpret: bool = False):
+    """v3 fused Ozaki downdate for pre-gathered :class:`FoldBlocks`.
+
+    The mesh fold path's mid-band hot route: slices the chunk's validation
+    rows ONCE in bulk against chunk-global column scales (the same trimmed
+    :func:`~cvmatrix_tpu.ops.kernels.ozaki_trim_groups` budget as the
+    single-chip v3 sweep — chunk maxima are <= the dataset maxima, so the
+    dropped tail is <= the single-chip path's) and feeds the SAME
+    prefix-stack kernel. Replaces the generic per-fold
+    :func:`~cvmatrix_tpu.ops.precise.row_slice_operands` route, whose 10
+    untrimmed slice groups cost ~2x the MXU work in Lp-shallow products.
+
+    Callers must have checked :func:`ozaki_v3_ok`. Returns raw
+    (F, 2, Kp, Cp) double-float pairs.
+    """
+    from ..ops.precise import row_slice_operands
+
+    f64 = jnp.float64
+    f_folds, n_l, k = blocks.Xv_w.shape
+    m = state.M if return_XTY else 0
+    lp = _round_up(n_l, 32)
+    n_sp = kernels.ozaki_trim_groups(n_l)
+    kp = _round_up(max(k, 8), 128)
+    cp = kp
+    with_y = return_XTY
+
+    def pad_rows_cols(mat_parts, width):
+        """[(F, n_l, w), ...] -> (F, lp, width) zero-padded f64."""
+        out = jnp.zeros((f_folds, lp, width), f64)
+        col = 0
+        for mat in mat_parts:
+            out = out.at[:, :n_l, col:col + mat.shape[2]].set(
+                mat.astype(f64))
+            col += mat.shape[2]
+        return out
+
+    # A side: weighted, masked rows (masked/padded rows slice to exact
+    # zeros, contributing nothing to products or the diagonal squared
+    # sums — the gather_ozaki_rows masking contract).
+    Xw = pad_rows_cols([blocks.Xv_w], kp)
+    m2 = pad_rows_cols(
+        [blocks.Xv_u] + ([blocks.Yv_u] if with_y else []), cp)
+    sa, pa = row_slice_operands(Xw.reshape(f_folds * lp, kp),
+                                n_slices=n_sp)
+    sbf, pb = row_slice_operands(m2.reshape(f_folds * lp, cp),
+                                 n_slices=n_sp)
+    sb_rev = sbf[::-1]
+
+    center = config.center_X or (with_y and config.center_Y)
+    need_x_mean = center or config.scale_X
+    need_y_stats = with_y and (
+        config.center_X or config.center_Y or config.scale_Y
+    )
+
+    sxv = jnp.zeros((f_folds, 2, kp), jnp.float32)
+    if need_x_mean:
+        hi, lo = df_from_f64(jnp.sum(Xw, axis=1))
+        sxv = sxv.at[:, 0].set(hi).at[:, 1].set(lo)
+
+    gx = jnp.zeros((4, kp), jnp.float32)
+    if need_x_mean:
+        gx = _vec_pairs(state.sum_X, 0, kp, 0, gx)
+    if config.scale_X:
+        gx = _vec_pairs(state.sum_sq_X, 0, kp, 2, gx)
+
+    ymask = jnp.zeros((1, cp), jnp.float32)
+    yvec = jnp.zeros((f_folds, 2, 2, cp), jnp.float32)
+    if with_y:
+        ymask = ymask.at[:, k:k + m].set(1.0)
+        if need_y_stats:
+            # Y-side vectors straight from the already-computed fold stats
+            # (prepare_ozaki_sources recomputes them only because it has no
+            # stats5 in hand).
+            _, _, Y_mean, Y_std, _ = stats5
+            qy = (
+                Y_mean[:, 0, :].astype(f64)
+                if (config.center_X or config.center_Y)
+                else jnp.zeros((f_folds, m), f64)
+            )
+            hi, lo = df_from_f64(qy)
+            yvec = yvec.at[:, 0, 0, k:k + m].set(hi)
+            yvec = yvec.at[:, 0, 1, k:k + m].set(lo)
+            i2y = (
+                (1.0 / Y_std[:, 0, :]).astype(f64) if config.scale_Y
+                else jnp.ones((f_folds, m), f64)
+            )
+            hi, lo = df_from_f64(i2y)
+            yvec = yvec.at[:, 1, 0, k:k + m].set(hi)
+            yvec = yvec.at[:, 1, 1, k:k + m].set(lo)
+        elif config.scale_X:
+            yvec = yvec.at[:, 1, 0, k:k + m].set(1.0)
+
+    scal = (
+        _fold_scalar_stream_from_blocks(config, state, blocks, f_folds,
+                                        n_l, f64)
+        if (need_x_mean or need_y_stats)
+        else jnp.zeros((f_folds, 1, 128), jnp.float32)
+    )
+
+    total2 = _total_planes(state, True, return_XTY, kp, cp, presplit=False)
+    bt_sym = loocv_sym_tile(kp) if _sym_enabled() else None
+    kern = (
+        kernels.fused_ozaki_downdate_v3 if bt_sym is None
+        else functools.partial(kernels.fused_ozaki_downdate_v3_sym,
+                               bt=bt_sym)
+    )
+    return kern(
+        total2, sa, sb_rev, pa, pb, gx, sxv, yvec, ymask, scal,
         center_xtx=config.center_X,
         center_xty=config.center_X or config.center_Y,
         scale_x=config.scale_X,

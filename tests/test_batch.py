@@ -244,3 +244,47 @@ def test_prepare_loocv_sources_f32_presplit_default():
     st64 = fit(cfg64, X_ALL[:, :20], Y_ALL, WEIGHTS)
     src64 = B.prepare_loocv_sources(cfg64, st64, idx)
     assert src64.total4.shape[0] == 4  # f64 scaling path presplits
+
+
+@pytest.mark.parametrize("use_w,use_mask", [(True, False), (False, False),
+                                            (True, True)])
+def test_from_blocks_v3_route(use_w, use_mask):
+    """Pre-gathered blocks at mid-band fold sizes route through the v3
+    fused Ozaki kernel (the mesh fold path's hot route) and agree with the
+    vmapped XLA engine. Interpret mode = wiring check (loose tolerance:
+    the CPU interpreter fuses a*b+c, see module docstring); hardware
+    parity is pinned by benchmarks/tpu_batch/mesh_parity.py."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.core import batch as B
+
+    rng = np.random.default_rng(3)
+    n, k, m, f_folds, n_l = 240, 100, 5, 6, 12
+    X = rng.random((n, k))
+    Y = rng.random((n, m))
+    w = zero_fraction(rng.random(n)) if use_w else None
+    cfg = CVConfig(True, True, True, True, ddof=1)
+    st = fit(cfg, X, Y, w)
+    assert B.ozaki_v3_ok(cfg, st, True, True, n_l)
+    assert n_l >= B.large_fold_threshold(cfg, st, True, True)
+
+    idx = jnp.asarray(
+        rng.permutation(n)[: f_folds * n_l].reshape(f_folds, n_l))
+    mask = None
+    if use_mask:
+        mask = np.ones((f_folds, n_l))
+        mask[:, -3:] = 0.0  # unequal true fold sizes
+        mask = jnp.asarray(mask)
+
+    blocks, stats5 = B._gather_and_stats(cfg, st, idx, mask, True, True)
+    (kx, ky), kstats = B.batched_matrices_from_blocks(
+        cfg, st, blocks, stats5, impl="pallas", interpret=True)
+    (rx, ry), rstats = B.batched_matrices_from_blocks(
+        cfg, st, blocks, stats5, impl="xla")
+    assert_allclose(np.asarray(kx), np.asarray(rx), rtol=1e-5, atol=1e-2)
+    assert_allclose(np.asarray(ky), np.asarray(ry), rtol=1e-5, atol=1e-2)
+    for ks, rs in zip(kstats, rstats):
+        if rs is None:
+            assert ks is None
+        else:
+            assert_allclose(np.asarray(ks), np.asarray(rs), atol=1e-8)
