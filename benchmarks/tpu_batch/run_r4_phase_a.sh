@@ -2,6 +2,12 @@
 # Round-4 phase-A TPU measurement batch: the VERDICT r3 "do this" items
 # that measure EXISTING code (sym A/B, VPU proof, mesh(1) phase split at
 # bench scale, bench-scale mesh parity, wide-K genomics + SYRK A/B).
+#
+# The remote compile helper can wedge for long stretches (a trivial op
+# hangs), so every step gates on a REAL compile+execute round trip first
+# (fresh shape each attempt -> cannot be served by any compile cache),
+# and a failed step gets one retry after re-gating.
+#
 # Launch from a /tmp snapshot:
 #   cp benchmarks/tpu_batch/run_r4_phase_a.sh /tmp/run_r4a.sh
 #   nohup bash /tmp/run_r4a.sh > /tmp/seq_tpu_r4a.log 2>&1 &
@@ -9,13 +15,30 @@ cd /root/repo
 export PYTHONUNBUFFERED=1
 export PYTHONPATH=/root/repo:/root/.axon_site
 
-until timeout 240 python -c "import jax; print(jax.devices())" > /tmp/r4_gate.log 2>&1; do
-  echo "tunnel still down $(date)"
-  sleep 120
-done
-echo "=== TUNNEL UP $(date)"
+gate() {
+  until timeout 300 python -c "
+import time, jax, jax.numpy as jnp
+n = int(time.time()) % 89 + 11   # fresh shape: forces a real compile
+x = jnp.arange(float(n)) * 3.0
+print('gate ok: n=', n, 'val=', float(x[n - 1]))
+" > /tmp/r4_gate.log 2>&1; do
+    echo "tunnel/compile helper not responding $(date)"
+    sleep 180
+  done
+  echo "=== GATE OK $(date)"
+}
 
-run() { name=$1; to=$2; shift 2; echo "=== $name start $(date)"; timeout $to "$@" > /tmp/r4_$name.log 2>&1; echo "=== $name exit $? $(date)"; }
+run() {
+  name=$1; to=$2; shift 2
+  for attempt in 1 2; do
+    gate
+    echo "=== $name start (attempt $attempt) $(date)"
+    timeout "$to" "$@" > /tmp/r4_$name.log 2>&1
+    rc=$?
+    echo "=== $name exit $rc $(date)"
+    [ $rc -eq 0 ] && break
+  done
+}
 
 run sym_check  3600 python benchmarks/tpu_batch/sym_check.py
 run vpu_proof  2400 python benchmarks/vpu_bound_proof.py

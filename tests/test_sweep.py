@@ -387,16 +387,21 @@ def test_reduce_sweep_cache_survives_fresh_lambdas():
 
     # Isolate from other tests' entries: jit caches hold weakly-referenced
     # static args, so a GC between measurements can shrink the count and
-    # make an exact-delta assertion flaky in the full suite.
+    # make an exact-delta assertion flaky in the full suite (observed once
+    # in the 340-test run). GC stays OFF for the whole measurement window.
     import gc
 
     S._reduce_sweep_jit.clear_cache()
     gc.collect()
-    a = call(1.0)
-    n0 = S._reduce_sweep_jit._cache_size()
-    b = call(1.0)  # fresh lambda, same code + closure -> cache hit
-    assert S._reduce_sweep_jit._cache_size() == n0
-    assert_allclose(np.asarray(a), np.asarray(b))
-    c = call(2.0)  # different closure value -> different program
-    assert S._reduce_sweep_jit._cache_size() == n0 + 1
-    assert_allclose(np.asarray(c), 2.0 * np.asarray(a))
+    gc.disable()
+    try:
+        a = call(1.0)
+        n0 = S._reduce_sweep_jit._cache_size()
+        b = call(1.0)  # fresh lambda, same code + closure -> cache hit
+        assert S._reduce_sweep_jit._cache_size() == n0
+        assert_allclose(np.asarray(a), np.asarray(b))
+        c = call(2.0)  # different closure value -> different program
+        assert S._reduce_sweep_jit._cache_size() == n0 + 1
+        assert_allclose(np.asarray(c), 2.0 * np.asarray(a))
+    finally:
+        gc.enable()
