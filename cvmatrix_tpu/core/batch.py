@@ -852,6 +852,43 @@ def batched_matrices_from_blocks(
     n_l = blocks.Xv_w.shape[1]
     is_f64 = dt.itemsize == 8
     if (
+        n_l == 1 and blocks.mask is None
+        and loocv_single_tile_ok(config, state, return_XTX, return_XTY)
+    ):
+        # Mesh LOOCV: the gathered blocks ARE a one-row-per-fold stream, so
+        # the all-in-one LOOCV kernels (the single-chip headline route) run
+        # unchanged with rows = arange(F) — no per-chunk operand packing.
+        src = loocv_sources_from_blocks(config, state, blocks,
+                                        return_XTY=return_XTY)
+        rows = jnp.arange(blocks.Xv_w.shape[0], dtype=jnp.int32)
+        k = state.K
+        c = k + ((state.M or 0) if return_XTY else 0)
+        if is_f64:
+            bt_sym = loocv_sym_tile(src.kp) if _sym_enabled() else None
+            if bt_sym is not None:
+                pair_out = loocv_sym_from_sources(
+                    config, src, rows, return_XTY=return_XTY, bt=bt_sym,
+                    interpret=interpret,
+                )
+            else:
+                pair_out = loocv_from_sources(
+                    config, src, rows, return_XTY=return_XTY,
+                    two_per_step=_df64x2_enabled() and rows.shape[0] % 2 == 0,
+                    interpret=interpret,
+                )
+            out = df_to_f64(pair_out[:, 0, :k, :c], pair_out[:, 1, :k, :c])
+        else:
+            out32 = loocv_f32_from_sources(
+                config, src, rows, return_XTY=return_XTY,
+                two_per_step=_f32x2_enabled() and rows.shape[0] % 2 == 0,
+                interpret=interpret,
+            )
+            out = out32[:, :k, :c]
+        stats = stats5[:4]
+        if return_XTX and return_XTY:
+            return (out[:, :, :k], out[:, :, k:]), stats
+        return out, stats
+    if (
         not is_f64
         and n_l >= LARGE_FOLD_ROWS
     ):
@@ -1708,3 +1745,78 @@ def ozaki_v3_from_blocks(config: CVConfig, state: FitState, blocks, stats5,
         resolution=config.resolution,
         interpret=interpret,
     )
+
+
+def loocv_sources_from_blocks(config: CVConfig, state: FitState, blocks,
+                              *, return_XTY: bool) -> LoocvSources:
+    """:class:`LoocvSources` for pre-gathered single-row :class:`FoldBlocks`.
+
+    The mesh LOOCV fold path: the all-in-one LOOCV kernels gather rows by
+    index from dataset-wide streams, and a chunk of gathered blocks IS such
+    a stream (one row per fold) — so the kernel runs unchanged with
+    ``rows = arange(F)``. Globals (sums, totals) come from the replicated
+    fitted state; row streams from the blocks. Mirrors
+    :func:`prepare_loocv_sources` exactly (same aliasing rules, same packed
+    layouts); masks are unsupported here (a masked single-row fold is
+    degenerate — callers gate on ``blocks.mask is None``).
+    """
+    if blocks.mask is not None:
+        raise ValueError("mask batches cannot route the fused LOOCV kernel")
+    f_folds = blocks.Xv_w.shape[0]
+    k = state.K
+    m = state.M if return_XTY else 0
+    kp = _round_up(max(k, 8), 128)
+    cp = kp
+    # Weightedness from the BLOCKS, not the state: the mesh fold math runs
+    # on a globals-only state whose data fields (incl. weights) are
+    # stripped (parallel.distributed._globals_only) — state.weights is
+    # None there even for weighted fits.
+    weighted = blocks.w_val is not None
+    with_y = return_XTY
+    f64 = (
+        jnp.float64 if np.dtype(config.dtype).itemsize == 8 else jnp.float32
+    )
+
+    xw = _row_pairs(blocks.Xv_w[:, 0, :], 0, kp)
+    xu = _row_pairs(blocks.Xv_u[:, 0, :], 0, kp) if weighted else xw
+
+    center = config.center_X or (with_y and config.center_Y)
+    need_x_mean = center or config.scale_X
+    need_y_stats = with_y and (
+        config.center_X or config.center_Y or config.scale_Y
+    )
+    if with_y:
+        yu = _row_pairs(blocks.Yv_u[:, 0, :], k, cp)
+        yw = (
+            _row_pairs(blocks.Yv_w[:, 0, :], k, cp)
+            if (weighted and need_y_stats) else yu
+        )
+        ymask = jnp.zeros((1, cp), jnp.float32).at[:, k:k + m].set(1.0)
+        gy = jnp.zeros((4, cp), jnp.float32)
+        if need_y_stats:
+            gy = _vec_pairs(state.sum_Y, k, cp, 0, gy)
+        if config.scale_Y:
+            gy = _vec_pairs(state.sum_sq_Y, k, cp, 2, gy)
+    else:
+        yu = yw = jnp.zeros((1, 2, cp), jnp.float32)
+        ymask = jnp.zeros((1, cp), jnp.float32)
+        gy = jnp.zeros((4, cp), jnp.float32)
+
+    gx = jnp.zeros((4, kp), jnp.float32)
+    if need_x_mean:
+        gx = _vec_pairs(state.sum_X, 0, kp, 0, gx)
+    if config.scale_X:
+        gx = _vec_pairs(state.sum_sq_X, 0, kp, 2, gx)
+
+    scal = (
+        _fold_scalar_stream_from_blocks(config, state, blocks, f_folds, 1,
+                                        f64)
+        if (need_x_mean or need_y_stats)
+        else jnp.zeros((f_folds, 1, 128), jnp.float32)
+    )
+    mrow = jnp.zeros((1, 1, 1, 128), jnp.float32)
+    scale = config.scale_X or (with_y and config.scale_Y)
+    presplit = scale and np.dtype(config.dtype).itemsize == 8
+    total4 = _total_planes(state, True, return_XTY, kp, cp,
+                           presplit=presplit)
+    return LoocvSources(total4, xw, xu, yu, yw, gx, gy, ymask, scal, mrow)

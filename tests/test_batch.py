@@ -288,3 +288,70 @@ def test_from_blocks_v3_route(use_w, use_mask):
             assert ks is None
         else:
             assert_allclose(np.asarray(ks), np.asarray(rs), atol=1e-8)
+
+
+@pytest.mark.parametrize("use_w", [True, False])
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_from_blocks_loocv_route(use_w, dtype):
+    """Pre-gathered single-row blocks route through the all-in-one LOOCV
+    kernels (the mesh LOOCV fold path) and agree with the vmapped XLA
+    engine (loose: interpret mode, see module docstring)."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.core import batch as B
+
+    rng = np.random.default_rng(5)
+    n, k, m, f_folds = 200, 100, 5, 16
+    X = rng.random((n, k)).astype(dtype)
+    Y = rng.random((n, m)).astype(dtype)
+    w = zero_fraction(rng.random(n)).astype(dtype) if use_w else None
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=dtype)
+    st = fit(cfg, X, Y, w)
+    assert B.loocv_single_tile_ok(cfg, st, True, True)
+
+    idx = jnp.asarray(rng.permutation(n)[:f_folds].reshape(f_folds, 1))
+    blocks, stats5 = B._gather_and_stats(cfg, st, idx, None, True, True)
+    (kx, ky), kstats = B.batched_matrices_from_blocks(
+        cfg, st, blocks, stats5, impl="pallas", interpret=True)
+    (rx, ry), rstats = B.batched_matrices_from_blocks(
+        cfg, st, blocks, stats5, impl="xla")
+    tol = dict(rtol=1e-5, atol=1e-2) if dtype == np.float64 else \
+        dict(rtol=1e-2, atol=1e-1)
+    assert_allclose(np.asarray(kx), np.asarray(rx), **tol)
+    assert_allclose(np.asarray(ky), np.asarray(ry), **tol)
+    for ks, rs in zip(kstats, rstats):
+        if rs is None:
+            assert ks is None
+        else:
+            assert_allclose(np.asarray(ks), np.asarray(rs),
+                            atol=1e-8 if dtype == np.float64 else 1e-4)
+
+
+def test_from_blocks_routes_with_globals_only_state():
+    """The mesh fold math receives a globals-only state (data fields incl.
+    weights stripped — parallel.distributed._globals_only); the from-blocks
+    routes must read weightedness from the BLOCKS. Regression: the LOOCV
+    route aliased the unweighted stream to the weighted one under
+    shard_map (0.4% relative error at TTTT)."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.core import batch as B
+    from cvmatrix_tpu.parallel.distributed import _globals_only
+
+    rng = np.random.default_rng(7)
+    n, k, m = 220, 40, 3
+    X, Y = rng.random((n, k)), rng.random((n, m))
+    w = zero_fraction(rng.random(n))
+    cfg = CVConfig(True, True, True, True, ddof=1)
+    st = fit(cfg, X, Y, w)
+    go = _globals_only(cfg, st)
+    for n_l in (1, 12):  # LOOCV route and v3 route
+        idx = jnp.asarray(
+            rng.permutation(n)[: 8 * n_l].reshape(8, n_l))
+        blocks, stats5 = B._gather_and_stats(cfg, st, idx, None, True, True)
+        (kx, ky), _ = B.batched_matrices_from_blocks(
+            cfg, go, blocks, stats5, impl="pallas", interpret=True)
+        (rx, ry), _ = B.batched_matrices_from_blocks(
+            cfg, st, blocks, stats5, impl="xla")
+        assert_allclose(np.asarray(kx), np.asarray(rx), rtol=1e-5, atol=1e-2)
+        assert_allclose(np.asarray(ky), np.asarray(ry), rtol=1e-5, atol=1e-2)
