@@ -1,7 +1,7 @@
 #!/bin/bash
-# Round-4 phase-B TPU batch: headline + grid rows on the round-4 code
-# (post sym-default decision), AOT cold start, fixed-mesh re-measurements.
-# Same per-step compile gate as phase A (the helper wedges for stretches).
+# Round-4 phase-B TPU batch: routing A/Bs + fixed-mesh re-measurement.
+# The final headline/grid/cold rows run in phase C AFTER the default-flip
+# decision (run_r4_phase_c.sh). Same per-step compile gate as phase A.
 #
 #   cp benchmarks/tpu_batch/run_r4_phase_b.sh /tmp/run_r4b.sh
 #   nohup bash /tmp/run_r4b.sh > /tmp/seq_tpu_r4b.log 2>&1 &
@@ -34,17 +34,16 @@ run() {
   done
 }
 
-# Headline (warm; also exports the AOT artifact for this shape).
-run bench      4800 python bench.py
-# AOT cold start: fresh process, persistent cache OFF, no phase programs —
-# the total-CV first call pays only the artifact's device compile
-# (VERDICT r3 weak #5 "make cold start honest and fast").
-run bench_cold 4800 env BENCH_PERSISTENT_CACHE=0 BENCH_PHASES=0 python bench.py
-# Mesh-of-one after the v3-from-blocks fold-path fix, now incl. LOOCV.
+# Sym-kernel A/B at the headline level (VERDICT r3 item 1): two separate
+# processes, AOT disabled so the artifact cannot bypass the routing knob
+# (routing is baked at export). The standalone kernel timing loop
+# (sym_check.py) crashed the remote compile helper twice on 2026-08-19;
+# bench.py's program is the same sweep and compiles reliably.
+run bench_sym_on  4800 env BENCH_AOT=0 BENCH_PHASES=0 CVMATRIX_TPU_SYM_LOOCV=1 python bench.py
+run bench_sym_off 4800 env BENCH_AOT=0 BENCH_PHASES=0 CVMATRIX_TPU_SYM_LOOCV=0 python bench.py
+# v3-sym A/B at mid-band (same knob routes the v3 sym kernel).
+run grid_sym   3600 env CVMATRIX_TPU_SYM_LOOCV=1 BENCH_PS=1000,10000 BENCH_CONFIGS=TTTT BENCH_CSV=benchmarks/grid_sym.csv python benchmarks/benchmark.py
+
+# Mesh-of-one after the v3/LOOCV from-blocks fold-path fix, incl. LOOCV.
 run mesh1      4800 env BENCH_PS=1000,10000,100000 python benchmarks/mesh_one_chip.py
-# Grid rows for the round-4 version (mid-band + full sweep).
-run grid_mid   3600 env BENCH_PS=1000,10000 BENCH_CONFIGS=TTTT BENCH_CSV=benchmarks/grid_tpu.csv python benchmarks/benchmark.py
-run grid_full  4800 env BENCH_PS=3,5,10,100,100000 BENCH_CONFIGS=TTTT BENCH_CSV=benchmarks/grid_tpu.csv python benchmarks/benchmark.py
-# f32 engine headline (store-bound band; pairs with the vpu-proof copy row).
-run bench_f32  2400 env BENCH_DTYPE=float32 python bench.py
 echo "=== ALL DONE $(date)"
