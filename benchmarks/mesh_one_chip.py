@@ -32,6 +32,9 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_enable_x64", True)
+    from cvmatrix_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()  # retry resilience: crashed runs reuse compiles
 
     from cvmatrix_tpu import CVConfig, Partitioner, fit
     from cvmatrix_tpu.models.sweep import materialize_sweep

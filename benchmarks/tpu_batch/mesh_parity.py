@@ -28,6 +28,9 @@ def main():
     jax.config.update("jax_enable_x64", True)
     if not os.environ.get("ALLOW_CPU"):  # CPU smoke-test escape hatch
         assert jax.devices()[0].platform != "cpu", jax.devices()
+    from cvmatrix_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()  # retry resilience: crashed runs reuse compiles
 
     from cvmatrix_tpu import CVConfig, CVMatrix, Partitioner, fit
     from cvmatrix_tpu.parallel.distributed import (

@@ -42,6 +42,9 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_enable_x64", True)
+    from cvmatrix_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()  # retry resilience: crashed runs reuse compiles
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -20,6 +20,8 @@ import sys, time
 import numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_enable_x64", True)
 from cvmatrix_tpu import CVConfig, Partitioner, fit
+from cvmatrix_tpu.utils import enable_persistent_cache
+enable_persistent_cache()  # retry resilience: crashed runs reuse compiles
 from cvmatrix_tpu.models.sweep import cross_validate_reduce
 from cvmatrix_tpu.policy import policy
 
