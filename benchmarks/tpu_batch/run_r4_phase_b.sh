@@ -46,4 +46,8 @@ run grid_sym   3600 env CVMATRIX_TPU_SYM_LOOCV=1 BENCH_PS=1000,10000 BENCH_CONFI
 
 # Mesh-of-one after the v3/LOOCV from-blocks fold-path fix, incl. LOOCV.
 run mesh1      4800 env BENCH_PS=1000,10000,100000 python benchmarks/mesh_one_chip.py
+# Bench-scale mesh kernel parity (magnitude-scaled gate; the flat 1e-8
+# absolute gate mis-fired at O(25k)-magnitude entries — 2.5e-8 abs =
+# 1e-12 relative, the same drift two pure-f64 recomputations show).
+run mesh_parity 3600 env BENCH_N=100000 BENCH_K=500 BENCH_M=10 BENCH_PS=1000 BENCH_SAMPLE=48 python benchmarks/tpu_batch/mesh_parity.py
 echo "=== ALL DONE $(date)"
