@@ -1081,7 +1081,11 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
             prod64 = jax.vmap(
                 lambda a, b: contract(a, b, mode=config.matmul_mode)
             )(xvp, m2p)
-        prod_hi, prod_lo = df_from_f64(prod64)
+        # One (F, 2, Kp, Cp) pair buffer: the stack fuses into the pair
+        # split's producing pass, and the epilogue kernel writes its output
+        # into this same buffer (input_output_aliases) — at genomics-wide K
+        # each such buffer is >3 GB of HBM.
+        prod_pair = jnp.stack(df_from_f64(prod64), axis=1)
 
     # Per-fold K/C vectors (REFERENCE form: p/q unscaled, stds in i1/i2).
     i1 = i2 = p_vec = q_vec = None
@@ -1118,7 +1122,7 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
         )
     else:
         pair_out = kernels.fused_epilogue_df64(
-            total_planes, prod_hi, prod_lo, kvec, cvec,
+            total_planes, prod_pair, kvec, cvec,
             center=center, scale=scale, block_k=blk, block_c=blk,
             interpret=interpret,
         )

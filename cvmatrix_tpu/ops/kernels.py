@@ -505,7 +505,7 @@ def _df64_ref_epilogue_vals(total_ref, d_h, d_l, pq, i12):
     return quick_two_sum(c_h, c_l)
 
 
-def _df64_epilogue_kernel(total_ref, prod_h_ref, prod_l_ref, kv_ref, cv_ref,
+def _df64_epilogue_kernel(total_ref, prod_ref, kv_ref, cv_ref,
                           out_ref, *, center: bool, scale: bool):
     """out = (total - prod - p (x) q) (.) (i1 (x) i2), all double-float.
 
@@ -513,9 +513,11 @@ def _df64_epilogue_kernel(total_ref, prod_h_ref, prod_l_ref, kv_ref, cv_ref,
     cheaper on the MXU (exact int8-slice contraction,
     :func:`cvmatrix_tpu.ops.precise.ozaki_contract`) than as an L-step VPU
     accumulation; this kernel then applies the remaining one-pass epilogue.
+    The output block ALIASES the product block (identical index maps), so
+    the read-block/compute/write-block order within one grid step is safe.
     """
     oh, ol = _df64_ref_epilogue_math(
-        total_ref, prod_h_ref[0], prod_l_ref[0], kv_ref, cv_ref,
+        total_ref, prod_ref[0, 0], prod_ref[0, 1], kv_ref, cv_ref,
         center=center, scale=scale,
     )
     out_ref[0, 0] = oh
@@ -528,8 +530,7 @@ def _df64_epilogue_kernel(total_ref, prod_h_ref, prod_l_ref, kv_ref, cv_ref,
 )
 def fused_epilogue_df64(
     total_planes: jax.Array,  # (2, Kp, Cp) pair (padded)
-    prod_hi: jax.Array,       # (F, Kp, Cp) downdate-product hi
-    prod_lo: jax.Array,       # (F, Kp, Cp) downdate-product lo
+    prod_pair: jax.Array,     # (F, 2, Kp, Cp) downdate-product (hi, lo)
     kvec: jax.Array,          # (F, 2, 2, Kp): [p, i1] pairs (unscaled p!)
     cvec: jax.Array,          # (F, 2, 2, Cp): [q, i2] pairs
     *,
@@ -541,12 +542,14 @@ def fused_epilogue_df64(
 ) -> jax.Array:
     """(total - prod - p (x) q) (.) (i1 (x) i2) -> (F, 2, Kp, Cp) pairs.
 
-    ``prod_hi``/``prod_lo`` arrive as SEPARATE pre-padded planes so the
-    caller's pair conversion fuses straight out of the contraction — a
-    stacked/padded copy of a (Kp, Cp) product is gigabytes at genomics-wide
-    K and was the peak HBM allocation before this layout.
+    The output ALIASES ``prod_pair``'s buffer (``input_output_aliases``):
+    at genomics-wide K each (F, 2, Kp, Cp) buffer is >3 GB, and a separate
+    output allocation was the peak-HBM straw that broke the K=20,000
+    10-fold sweep (measured OOM by 50 MB of 15.75 GB on a v5e, 2026-08-20).
+    The caller's ``stack(df_from_f64(prod64), axis=1)`` fuses into the
+    buffer's producing pass, so the pair costs one materialisation total.
     """
-    f_folds = prod_hi.shape[0]
+    f_folds = prod_pair.shape[0]
     kp, cp = total_planes.shape[1], total_planes.shape[2]
     bk = min(block_k, kp)
     bc = min(block_c, cp)
@@ -554,25 +557,24 @@ def fused_epilogue_df64(
         raise ValueError(f"padded dims ({kp},{cp}) not multiples of "
                          f"({bk},{bc})")
     grid = (f_folds, kp // bk, cp // bc)
+    pair_spec = pl.BlockSpec((1, 2, bk, bc),
+                             lambda f, i, j: (f, f * 0, i, j),
+                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_df64_epilogue_kernel, center=center, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((2, bk, bc), lambda f, i, j: (f * 0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, bc), lambda f, i, j: (f, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, bc), lambda f, i, j: (f, i, j),
-                         memory_space=pltpu.VMEM),
+            pair_spec,
             pl.BlockSpec((1, 2, 2, bk), lambda f, i, j: (f, f * 0, f * 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, 2, bc), lambda f, i, j: (f, f * 0, f * 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, bk, bc),
-                               lambda f, i, j: (f, f * 0, i, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=pair_spec,
         out_shape=jax.ShapeDtypeStruct((f_folds, 2, kp, cp), jnp.float32),
+        input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
@@ -582,7 +584,7 @@ def fused_epilogue_df64(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(total_planes, prod_hi, prod_lo, kvec, cvec)
+    )(total_planes, prod_pair, kvec, cvec)
 
 
 # --------------------------------------------------------------------------- #
