@@ -41,13 +41,16 @@ run() {
 # bench.py's program is the same sweep and compiles reliably.
 run bench_sym_on  4800 env BENCH_AOT=0 BENCH_PHASES=0 CVMATRIX_TPU_SYM_LOOCV=1 python bench.py
 run bench_sym_off 4800 env BENCH_AOT=0 BENCH_PHASES=0 CVMATRIX_TPU_SYM_LOOCV=0 python bench.py
-# v3-sym A/B at mid-band (same knob routes the v3 sym kernel).
-run grid_sym   3600 env CVMATRIX_TPU_SYM_LOOCV=1 BENCH_PS=1000,10000 BENCH_CONFIGS=TTTT BENCH_CSV=benchmarks/grid_sym.csv python benchmarks/benchmark.py
-
 # Mesh-of-one after the v3/LOOCV from-blocks fold-path fix, incl. LOOCV.
 run mesh1      4800 env BENCH_PS=1000,10000,100000 python benchmarks/mesh_one_chip.py
+# K=20k default-routing row (the SYRK variant ran in phase A; the default
+# run timed out on a 967 s uncached fit compile — both compiles are now
+# in the persistent cache).
+run widek      3600 python benchmarks/widek_genomics.py
 # Bench-scale mesh kernel parity (magnitude-scaled gate; the flat 1e-8
 # absolute gate mis-fired at O(25k)-magnitude entries — 2.5e-8 abs =
 # 1e-12 relative, the same drift two pure-f64 recomputations show).
 run mesh_parity 3600 env BENCH_N=100000 BENCH_K=500 BENCH_M=10 BENCH_PS=1000 BENCH_SAMPLE=48 python benchmarks/tpu_batch/mesh_parity.py
+# v3-sym A/B at mid-band (same knob routes the v3 sym kernel).
+run grid_sym   3600 env CVMATRIX_TPU_SYM_LOOCV=1 BENCH_PS=1000,10000 BENCH_CONFIGS=TTTT BENCH_CSV=benchmarks/grid_sym.csv python benchmarks/benchmark.py
 echo "=== ALL DONE $(date)"
