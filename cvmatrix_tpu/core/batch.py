@@ -413,11 +413,16 @@ def _vec_pairs(vec, col0: int, cp: int, row0: int, buf):
     ].set(lo[0])
 
 
-def _fold_scalar_stream(config, state, rows, mask, f_folds, n_l, f64):
+def _fold_scalar_stream(config, state, rows, mask, f_folds, n_l, f64,
+                        n_rows_total=None):
     """(F, 1, 128) per-fold scalar pairs: [sum_w_train, 1/sum_w_train,
     1/std_divisor] — the trace-safe scalars of
     :func:`cvmatrix_tpu.core.fold._train_weight_scalars` / ``_std_divisor``
-    with reciprocals taken host-side of the kernel."""
+    with reciprocals taken host-side of the kernel.
+
+    ``n_rows_total`` overrides ``state.N`` for the unweighted count
+    downdate — under ``shard_map`` the state view holds only this shard's
+    rows, so the caller must pass the GLOBAL row count."""
     scal = jnp.zeros((f_folds, 1, 128), jnp.float32)
     if state.weights is not None:
         wv = state.weights[rows, 0].astype(f64).reshape(f_folds, n_l)
@@ -431,7 +436,8 @@ def _fold_scalar_stream(config, state, rows, mask, f_folds, n_l, f64):
         sw_t = state.sum_w.astype(f64) - mask.astype(f64).sum(axis=1)
         nnz_t = sw_t
     else:
-        sw_t = jnp.full((f_folds,), state.N - n_l, f64)
+        n_total = state.N if n_rows_total is None else n_rows_total
+        sw_t = jnp.full((f_folds,), n_total - n_l, f64)
         nnz_t = sw_t
     divisor = (nnz_t - config.ddof) * sw_t / nnz_t
     for col, val in ((0, sw_t), (2, 1.0 / sw_t), (4, 1.0 / divisor)):
@@ -449,6 +455,7 @@ def prepare_loocv_sources(
     return_XTX: bool = True,
     return_XTY: bool = True,
     presplit=None,
+    n_rows_total=None,
 ) -> LoocvSources:
     """Build the dataset-wide operands for :func:`fused_loocv_df64`.
 
@@ -527,7 +534,8 @@ def prepare_loocv_sources(
 
     # (F, 1, 128): the trailing (1, 128) satisfies Mosaic's block rules.
     scal = (
-        _fold_scalar_stream(config, state, rows, mask, f_folds, n_l, f64)
+        _fold_scalar_stream(config, state, rows, mask, f_folds, n_l, f64,
+                            n_rows_total=n_rows_total)
         if (need_x_mean or need_y_stats)
         else jnp.zeros((f_folds, 1, 128), jnp.float32)
     )

@@ -285,3 +285,101 @@ def test_mesh_kernel_path_f32_large_folds(mesh):
                                             impl="xla")
     assert_allclose(np.asarray(kx), np.asarray(rx), rtol=1e-3, atol=1e-1)
     assert_allclose(np.asarray(ky), np.asarray(ry), rtol=1e-3, atol=1e-1)
+
+
+@pytest.mark.parametrize("use_w", [False, True])
+def test_mesh_loocv_identity_fast_path(mesh, use_w):
+    """Natural-order LOOCV dispatches to the zero-collective shard-local
+    sweep (folds == rows under row sharding) and matches the generic mesh
+    reduce path. Covers the tail step (R=75 not a multiple of bs_local=16),
+    weighted and unweighted (the unweighted count downdate must use the
+    GLOBAL row count, not the shard's)."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.parallel import distributed as D
+
+    cfg = CVConfig(True, True, True, True, 1)
+    w = zero_fraction(WEIGHTS) if use_w else None
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, w)
+    n = X_ALL.shape[0]
+    idx = np.arange(n)[:, None]
+
+    def reduce_fn(mats, stats):
+        xtx, xty = mats
+        return jnp.trace(xtx) + jnp.sum(xty) + jnp.sum(stats[0])
+
+    m0 = D._loocv_identity_program.cache_info().misses
+    red = sharded_cross_validate_reduce(
+        cfg, st, idx, mesh=mesh, reduce_fn=reduce_fn, batch_size=128,
+        impl="pallas", interpret=True,
+    )
+    assert D._loocv_identity_program.cache_info().misses == m0 + 1
+    assert red.shape == (n,)
+    ref = sharded_cross_validate_reduce(
+        cfg, st, idx, mesh=mesh, reduce_fn=reduce_fn, batch_size=128,
+        impl="xla",
+    )
+    assert_allclose(np.asarray(red), np.asarray(ref), rtol=1e-5, atol=1e-2)
+
+
+def test_mesh_loocv_identity_fast_path_f32(mesh):
+    """f32 engine variant of the LOOCV identity fast path."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.parallel import distributed as D
+
+    cfg = CVConfig(True, True, True, True, 1, dtype=np.float32)
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, WEIGHTS)
+    n = X_ALL.shape[0]
+    idx = np.arange(n)[:, None]
+
+    def reduce_fn(mats, stats):
+        return jnp.trace(mats[0]) + jnp.sum(mats[1])
+
+    m0 = D._loocv_identity_program.cache_info().misses
+    red = sharded_cross_validate_reduce(
+        cfg, st, idx, mesh=mesh, reduce_fn=reduce_fn, batch_size=128,
+        impl="pallas", interpret=True,
+    )
+    assert D._loocv_identity_program.cache_info().misses == m0 + 1
+    ref = sharded_cross_validate_reduce(
+        cfg, st, idx, mesh=mesh, reduce_fn=reduce_fn, batch_size=128,
+        impl="xla",
+    )
+    assert_allclose(np.asarray(red), np.asarray(ref), rtol=1e-3, atol=1e-1)
+
+
+def test_mesh_loocv_non_identity_stays_generic(mesh):
+    """Shuffled LOOCV indices (and short prefixes) must NOT dispatch to the
+    locality fast path — it assumes fold i's validation row is row i."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.parallel import distributed as D
+
+    cfg = CVConfig(True, True, True, True, 1)
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, WEIGHTS)
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(X_ALL.shape[0])[:, None]
+
+    def reduce_fn(mats, stats):
+        return jnp.trace(mats[0])
+
+    m0 = D._loocv_identity_program.cache_info().misses
+    red = sharded_cross_validate_reduce(
+        cfg, st, perm, mesh=mesh, reduce_fn=reduce_fn, batch_size=64,
+        impl="pallas", interpret=True,
+    )
+    assert D._loocv_identity_program.cache_info().misses == m0
+    # short prefix (< half the dataset): generic path too
+    sharded_cross_validate_reduce(
+        cfg, st, np.arange(16)[:, None], mesh=mesh, reduce_fn=reduce_fn,
+        batch_size=64, impl="pallas", interpret=True,
+    )
+    assert D._loocv_identity_program.cache_info().misses == m0
+    # agreement with the identity order through the permutation
+    idn = sharded_cross_validate_reduce(
+        cfg, st, np.arange(X_ALL.shape[0])[:, None], mesh=mesh,
+        reduce_fn=reduce_fn, batch_size=64, impl="pallas", interpret=True,
+    )
+    assert_allclose(np.asarray(red), np.asarray(idn)[perm[:, 0]],
+                    rtol=1e-6, atol=1e-6)
