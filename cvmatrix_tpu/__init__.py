@@ -26,7 +26,7 @@ from .core import (
 from .models import CVMatrix, Partitioner
 from .policy import RoutingPolicy, policy, set_routing
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "CVMatrix",

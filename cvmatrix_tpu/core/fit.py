@@ -89,12 +89,13 @@ def fit(
         XTX, XTY = products
     elif Y_arr is not None:
         prod = contract(WX, jnp.concatenate([X, Y_arr], axis=1),
-                        mode=config.matmul_mode, symmetric_k=X.shape[1])
+                        mode=config.matmul_mode, symmetric_k=X.shape[1],
+                        unweighted_x=w is None)
         XTX = prod[:, : X.shape[1]]
         XTY = prod[:, X.shape[1]:]
     else:
         XTX = contract(WX, X, mode=config.matmul_mode,
-                       symmetric_k=X.shape[1])
+                       symmetric_k=X.shape[1], unweighted_x=w is None)
         XTY = None
 
     # Global statistics (ref :1219-1243), conditional on the flags.

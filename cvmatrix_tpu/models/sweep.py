@@ -206,8 +206,27 @@ def _reduce_sweep_impl(config, return_XTX, return_XTY, impl, reduce_fn,
         _padded_dims,
         _total_planes,
         large_fold_threshold,
+        loocv_single_tile_ok,
         training_matrices_batched,
     )
+
+    # LOOCV fast path: the all-in-one kernel with operand streams hoisted
+    # ONCE over the whole sweep (the structure the materialize sweep and
+    # the mesh identity path already use) — the generic chunk body below
+    # re-runs prepare_fold_operands' gathers/stats/packing per chunk, a
+    # measurable multiple of the actual fold math at single-row folds.
+    if (
+        impl in ("auto", "pallas")
+        and jax.default_backend() == "tpu"
+        and np.dtype(config.dtype).itemsize in (4, 8)
+        and mask_c is None
+        and idx_c.shape[2] == 1
+        and return_XTX
+        and loocv_single_tile_ok(config, state, return_XTX, return_XTY)
+    ):
+        return _loocv_reduce_loop(
+            config, state, idx_c, reduce_fn, return_XTY,
+        )
 
     # Hoist the kernel's padded total planes out of the chunk loop: built
     # inside the loop they pin state's K x K product for the whole sweep
@@ -238,6 +257,82 @@ def _reduce_sweep_impl(config, return_XTX, return_XTY, impl, reduce_fn,
 
     _, stacked = jax.lax.scan(body, None, (idx_c, mask_c))
     return stacked
+
+
+def _loocv_reduce_loop(config, state, idx_c, reduce_fn, return_XTY,
+                       interpret=False):
+    """Hoisted-source LOOCV reduce sweep (single-row folds, any order).
+
+    Mirrors the mesh identity path's chunk body
+    (:func:`cvmatrix_tpu.parallel.distributed._loocv_identity_program`):
+    one :func:`prepare_loocv_sources` for the whole fold list, then a scan
+    whose steps run the all-in-one LOOCV kernel, convert the double-float
+    pair planes, recompute the API stats from a fresh row gather, and
+    immediately reduce. Unlike the identity path it takes the folds in the
+    caller's order (positions in the hoisted streams are fold-list
+    positions, so no natural-order requirement).
+    """
+    from ..core.batch import (
+        _df64x2_enabled,
+        _f32x2_enabled,
+        _sym_enabled,
+        loocv_f32_from_sources,
+        loocv_from_sources,
+        loocv_sym_from_sources,
+        loocv_sym_tile,
+        prepare_loocv_sources,
+        stats_from_blocks,
+    )
+    from ..core.fold import gather_val_blocks
+    from ..ops.df64 import df_to_f64
+
+    is_f64 = np.dtype(config.dtype).itemsize == 8
+    n_chunks, bs = idx_c.shape[0], idx_c.shape[1]
+    idx = idx_c.reshape(n_chunks * bs, 1)
+    src = prepare_loocv_sources(
+        config, state, idx, return_XTX=True, return_XTY=return_XTY,
+        presplit=None if is_f64 else False,
+    )
+    rows_all = idx[:, 0].astype(jnp.int32)
+    k = state.K
+    m = (state.M or 0) if return_XTY else 0
+    c_full = k + m
+    bt_sym = loocv_sym_tile(src.kp) if (is_f64 and _sym_enabled()) else None
+
+    def body(carry, c):
+        ci = jax.lax.dynamic_slice_in_dim(rows_all, c * bs, bs, 0)
+        sc = jax.lax.dynamic_slice_in_dim(src.scal, c * bs, bs, 0)
+        if is_f64:
+            if bt_sym is not None:
+                pair = loocv_sym_from_sources(
+                    config, src, ci, sc, return_XTY=return_XTY, bt=bt_sym,
+                    interpret=interpret,
+                )
+            else:
+                pair = loocv_from_sources(
+                    config, src, ci, sc, return_XTY=return_XTY,
+                    two_per_step=_df64x2_enabled() and bs % 2 == 0,
+                    interpret=interpret,
+                )
+            out = df_to_f64(pair[:, 0, :k, :c_full], pair[:, 1, :k, :c_full])
+        else:
+            out32 = loocv_f32_from_sources(
+                config, src, ci, sc, return_XTY=return_XTY,
+                two_per_step=_f32x2_enabled() and bs % 2 == 0,
+                interpret=interpret,
+            )
+            out = out32[:, :k, :c_full]
+        mats = (out[:, :, :k], out[:, :, k:]) if return_XTY else out
+        blocks = jax.vmap(
+            lambda v: gather_val_blocks(config, state, v, None, return_XTY)
+        )(ci[:, None])
+        stats5 = stats_from_blocks(config, state, blocks, True, return_XTY)
+        return carry, jax.vmap(reduce_fn)(mats, stats5[:4])
+
+    _, red = jax.lax.scan(
+        body, None, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return red
 
 
 # Module-level jit: repeat sweeps with the same (config, flags, reduce_fn)
@@ -675,7 +770,8 @@ def _materialize_cv_impl(
 
     if pre.Y is not None:
         prod = contract(pre.WX, jnp.concatenate([pre.X, pre.Y], axis=1),
-                        mode=config.matmul_mode, symmetric_k=pre.K)
+                        mode=config.matmul_mode, symmetric_k=pre.K,
+                        unweighted_x=w is None)
         state = dataclasses.replace(
             pre, XTX=prod[:, : pre.K], XTY=prod[:, pre.K:],
         )
@@ -683,7 +779,7 @@ def _materialize_cv_impl(
         state = dataclasses.replace(
             pre,
             XTX=contract(pre.WX, pre.X, mode=config.matmul_mode,
-                         symmetric_k=pre.K),
+                         symmetric_k=pre.K, unweighted_x=w is None),
         )
     return _materialize_sweep_impl(
         config, bs, n_chunks, return_XTX, return_XTY, impl, use_packed,

@@ -267,6 +267,7 @@ def symmetric_contract(
     n_slices: int = _N_SLICES,
     col_block: int = 2048,
     out_dtype: Optional[jnp.dtype] = None,
+    unweighted_x: bool = False,
 ) -> jax.Array:
     """``a.T @ b`` exploiting symmetry of the leading ``(k, k)`` block (SYRK).
 
@@ -279,6 +280,13 @@ def symmetric_contract(
     lower blocks are mirrored. At ``B`` column blocks this skips
     ``(B-1)/2B`` of the MXU work (~45% at B=10), which dominates at
     genomics-wide ``k``.
+
+    ``unweighted_x``: assert that ``b[:, :k]`` is *the same values* as ``a``
+    (the unweighted fit, where ``WX`` aliases ``X`` — ref
+    ``cvmatrix/cvmatrix.py:1200-1203``). The column exponents, rescale and
+    mantissa slicing of the X block are then computed ONCE and shared by
+    both operands, halving the slicing subgraph (trace + the emulated-f64
+    elementwise work, which at genomics-wide ``k`` is gigabytes per pass).
 
     Accuracy: identical arithmetic to :func:`ozaki_contract` per computed
     block. Mirrored entries equal their transposed twins *exactly*; they
@@ -306,15 +314,23 @@ def symmetric_contract(
     ka_pad = nb * cb
 
     e_a = _column_scale(a)
-    e_b = _column_scale(b)
     a_scaled = a.astype(f64) * _pow2(-e_a)[None, :]
-    b_scaled = b.astype(f64) * _pow2(-e_b)[None, :]
     if ka_pad != k:
         a_scaled = jnp.pad(a_scaled, ((0, 0), (0, ka_pad - k)))
-        bx_scaled = jnp.pad(b_scaled[:, :k], ((0, 0), (0, ka_pad - k)))
+    if unweighted_x:
+        e_bx = e_a
+        bx_scaled = a_scaled
     else:
-        bx_scaled = b_scaled[:, :k]
-    y_scaled = b_scaled[:, k:] if m else None
+        e_bx = _column_scale(b[:, :k])
+        bx_scaled = b[:, :k].astype(f64) * _pow2(-e_bx)[None, :]
+        if ka_pad != k:
+            bx_scaled = jnp.pad(bx_scaled, ((0, 0), (0, ka_pad - k)))
+    if m:
+        e_y = _column_scale(b[:, k:])
+        y_scaled = b[:, k:].astype(f64) * _pow2(-e_y)[None, :]
+    else:
+        e_y = None
+        y_scaled = None
 
     # Upper-triangular block pairs (bi <= bj), as column starts.
     pairs = np.array(
@@ -326,42 +342,89 @@ def symmetric_contract(
 
     group_scale = [2.0 ** (-_T_BITS * (s + 2.0)) for s in range(n_slices)]
 
-    outs = jnp.zeros((len(pairs), cb, cb), f64)
-    y_acc = jnp.zeros((ka_pad, m), f64) if m else None
+    def pair_tile(sa_flat, sb_flat, rows, bi, bj):
+        """Raw f64 accumulator tile for column-block pair (bi, bj)."""
+        sa_ij = jax.lax.dynamic_slice_in_dim(sa_flat, bi, cb, axis=1)
+        sb_ij = jax.lax.dynamic_slice_in_dim(sb_flat, bj, cb, axis=1)
+        acc = jnp.zeros((cb, cb), f64)
+        for s in range(n_slices):
+            d32 = jax.lax.dot_general(
+                jax.lax.slice_in_dim(sa_ij, 0, (s + 1) * rows, axis=0),
+                jax.lax.slice_in_dim(
+                    sb_ij, (n_slices - 1 - s) * rows,
+                    n_slices * rows, axis=0,
+                ),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = acc + d32.astype(f64) * group_scale[s]
+        return acc
+
+    # Output assembly happens in-place inside a scan over pairs: each step
+    # scales its tile by the position-dependent column exponents and writes
+    # the tile AND its transposed twin straight into the padded (ka_pad,
+    # ka_pad) carry via dynamic_update_slice (XLA keeps the carry buffer
+    # in-place). Scaling BEFORE mirroring matters: entry (p, q) carries
+    # 2^(e_a[p] + e_bx[q]), and e_a - e_bx is NOT column-constant for
+    # weighted fits, so transposing raw accumulator blocks and scaling by
+    # output position afterwards would be wrong by
+    # 2^((e_a-e_bx)[p] - (e_a-e_bx)[q]) on every mirrored entry; the
+    # power-of-two scaling is exact, so scaling first changes nothing else.
+    # The transposed twin is written FIRST so diagonal pairs (bi == bj) end
+    # with the untransposed tile. Versus the previous scatter assembly
+    # (transposed twin stack + (nb, nb, cb, cb) grid + grid transpose —
+    # ~3 output-sized temporaries, ~10 GB at genomics-wide k), the live set
+    # here is one output buffer + one tile.
+    e_a_pad = jnp.pad(e_a, (0, ka_pad - k))
+    e_bx_pad = jnp.pad(e_bx, (0, ka_pad - k))
+
+    def scale_write(buf, tile_raw, bi, bj):
+        row_e = jax.lax.dynamic_slice_in_dim(e_a_pad, bi, cb)
+        col_e = jax.lax.dynamic_slice_in_dim(e_bx_pad, bj, cb)
+        tile = tile_raw * _pow2(row_e[:, None] + col_e[None, :])
+        buf = jax.lax.dynamic_update_slice(buf, tile.T, (bj, bi))
+        return jax.lax.dynamic_update_slice(buf, tile, (bi, bj))
+
     # Row chunks sized so prefix-stack int32 group sums stay exact:
     # n_slices * chunk * 65^2 < 2^31.
     chunk = _GROUP_CHUNK
+    n_chunks = max(1, -(-max(n, 1) // chunk))
+    # Multi-chunk fits accumulate raw tiles across chunks before the write
+    # pass; single-chunk fits (the genomics-wide shape: small N, huge K)
+    # fuse compute + write into one scan and skip the stack entirely.
+    outs = None if n_chunks == 1 else jnp.zeros((len(pairs), cb, cb), f64)
+    buf = jnp.zeros((ka_pad, ka_pad), f64)
+    y_acc = jnp.zeros((ka_pad, m), f64) if m else None
     for start in range(0, max(n, 1), chunk):
         stop = min(start + chunk, n)
         rows = stop - start
-        sa = jnp.stack(_mantissa_slices(a_scaled[start:stop], n_slices))
-        sb_rev = jnp.stack(
-            _mantissa_slices(bx_scaled[start:stop], n_slices)[::-1]
-        )
+        sl_a = _mantissa_slices(a_scaled[start:stop], n_slices)
+        sa = jnp.stack(sl_a)
+        # Unweighted: the X block's slices ARE a's slices — restack the same
+        # list reversed (a second concat of existing buffers) instead of
+        # re-slicing the whole block through 10 more emulated-f64 passes.
+        sl_bx = (sl_a if unweighted_x
+                 else _mantissa_slices(bx_scaled[start:stop], n_slices))
+        sb_rev = jnp.stack(sl_bx[::-1])
         sa_flat = sa.reshape(n_slices * rows, ka_pad)
         sb_flat = sb_rev.reshape(n_slices * rows, ka_pad)
 
-        def pair_body(carry, ij, sa_flat=sa_flat, sb_flat=sb_flat,
-                      rows=rows):
-            bi, bj = ij
-            sa_ij = jax.lax.dynamic_slice_in_dim(sa_flat, bi, cb, axis=1)
-            sb_ij = jax.lax.dynamic_slice_in_dim(sb_flat, bj, cb, axis=1)
-            acc = jnp.zeros((cb, cb), f64)
-            for s in range(n_slices):
-                d32 = jax.lax.dot_general(
-                    jax.lax.slice_in_dim(sa_ij, 0, (s + 1) * rows, axis=0),
-                    jax.lax.slice_in_dim(
-                        sb_ij, (n_slices - 1 - s) * rows,
-                        n_slices * rows, axis=0,
-                    ),
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                acc = acc + d32.astype(f64) * group_scale[s]
-            return carry, acc
+        if n_chunks == 1:
+            def pair_write(carry, ij, sa_flat=sa_flat, sb_flat=sb_flat,
+                           rows=rows):
+                bi, bj = ij
+                tile = pair_tile(sa_flat, sb_flat, rows, bi, bj)
+                return scale_write(carry, tile, bi, bj), None
 
-        _, outs_chunk = jax.lax.scan(pair_body, None, (bi_arr, bj_arr))
-        outs = outs + outs_chunk
+            buf, _ = jax.lax.scan(pair_write, buf, (bi_arr, bj_arr))
+        else:
+            def pair_body(carry, ij, sa_flat=sa_flat, sb_flat=sb_flat,
+                          rows=rows):
+                bi, bj = ij
+                return carry, pair_tile(sa_flat, sb_flat, rows, bi, bj)
+
+            _, outs_chunk = jax.lax.scan(pair_body, None, (bi_arr, bj_arr))
+            outs = outs + outs_chunk
 
         if m:
             sy = jnp.stack(
@@ -379,37 +442,16 @@ def symmetric_contract(
                 )
                 y_acc = y_acc + d32.astype(f64) * group_scale[s]
 
-    # Apply each block's position-dependent column scales BEFORE mirroring:
-    # entry (p, q) carries 2^(e_a[p] + e_b[q]), and e_a - e_b is NOT
-    # column-constant for weighted fits (the weighted operand's per-column
-    # exponents differ from the unweighted twin's), so transposing raw
-    # accumulator blocks and scaling by output position afterwards would be
-    # wrong by 2^((e_a-e_b)[p] - (e_a-e_b)[q]) on every mirrored entry.
-    # Power-of-two scaling is exact, so scaling first changes nothing else.
-    e_a_pad = jnp.pad(e_a, (0, ka_pad - k))
-    e_bx_pad = jnp.pad(e_b[:k], (0, ka_pad - k))
-    offs = jnp.arange(cb)
-    row_e = e_a_pad[jnp.asarray(pairs[:, 0])[:, None] + offs[None, :]]
-    col_e = e_bx_pad[jnp.asarray(pairs[:, 1])[:, None] + offs[None, :]]
-    outs = outs * _pow2(row_e[:, :, None] + col_e[:, None, :])
+    if n_chunks > 1:
+        def write_body(carry, t_ij):
+            tile_raw, bi, bj = t_ij
+            return scale_write(carry, tile_raw, bi, bj), None
 
-    # Assemble: scatter the computed pairs AND their transposed strict-upper
-    # twins into the (nb, nb) block grid in one pass (one output-sized
-    # buffer — a scatter-then-mirror would double-buffer multi-GB arrays at
-    # genomics-wide k), then crop the padding.
-    iidx = pairs[:, 0] // cb
-    jidx = pairs[:, 1] // cb
-    strict = np.where(iidx != jidx)[0]
-    all_i = jnp.asarray(np.concatenate([iidx, jidx[strict]]))
-    all_j = jnp.asarray(np.concatenate([jidx, iidx[strict]]))
-    vals = jnp.concatenate(
-        [outs, jnp.transpose(outs[jnp.asarray(strict)], (0, 2, 1))]
-    )
-    grid = jnp.zeros((nb, nb, cb, cb), f64).at[all_i, all_j].set(vals)
-    out_x = jnp.transpose(grid, (0, 2, 1, 3)).reshape(ka_pad, ka_pad)[:k, :k]
+        buf, _ = jax.lax.scan(write_body, buf, (outs, bi_arr, bj_arr))
+    out_x = buf[:k, :k]
 
     if m:
-        out_y = y_acc[:k] * _pow2(e_a[:, None] + e_b[None, k:])
+        out_y = y_acc[:k] * _pow2(e_a[:, None] + e_y[None, :])
         return jnp.concatenate([out_x, out_y], axis=1).astype(out_dtype)
     return out_x.astype(out_dtype)
 
@@ -473,6 +515,7 @@ def contract(
     mode: str = "auto",
     small_n_threshold: int = 16,
     symmetric_k: Optional[int] = None,
+    unweighted_x: bool = False,
 ) -> jax.Array:
     """``a.T @ b`` contraction over axis 0, precision-policy aware.
 
@@ -483,6 +526,9 @@ def contract(
     ``symmetric_k``: when the leading ``(k, k)`` output block is known
     symmetric (``b[:, :k]`` is the unweighted twin of ``a`` — the fit
     call), wide-``k`` exact contractions route through the SYRK path.
+    ``unweighted_x``: additionally asserts ``b[:, :k]`` holds the same
+    values as ``a`` (unweighted fit: WX aliases X, ref :1200-1203), letting
+    the SYRK path slice the X mantissas once for both operands.
     """
     if _use_exact(mode, a.dtype):
         if a.shape[0] <= small_n_threshold:
@@ -490,7 +536,8 @@ def contract(
         if symmetric_k is not None and symmetric_k >= _SYRK_MIN_K:
             # Wide k is MXU-bound; skipping the lower-triangular column
             # block pairs saves (B-1)/2B of the MXU work.
-            return symmetric_contract(a, b, symmetric_k)
+            return symmetric_contract(a, b, symmetric_k,
+                                      unweighted_x=unweighted_x)
         return ozaki_contract(a, b)
     return jax.lax.dot_general(
         a,

@@ -259,6 +259,29 @@ def test_symmetric_contract_k_just_above_block():
     assert np.max(np.abs(got - ref)) / scale < 1e-14
 
 
+def test_symmetric_contract_unweighted_shared_slices():
+    """``unweighted_x=True`` (slices computed once, shared by both
+    operands) must equal the two-operand path bit-for-bit AND the NumPy
+    f64 reference — incl. across a row-chunk boundary and with Y."""
+    from cvmatrix_tpu.ops.precise import _GROUP_CHUNK, symmetric_contract
+
+    rng = np.random.default_rng(11)
+    n, k, m = _GROUP_CHUNK + 257, 192, 3
+    x = rng.random((n, k)) * 200 - 100
+    b = np.concatenate([x, rng.standard_normal((n, m))], axis=1)
+    a_j, b_j = jnp.asarray(x), jnp.asarray(b)
+    ref = x.T @ b
+    got_shared = np.asarray(
+        symmetric_contract(a_j, b_j, k, col_block=128, unweighted_x=True))
+    got_two = np.asarray(symmetric_contract(a_j, b_j, k, col_block=128))
+    np.testing.assert_array_equal(got_shared, got_two)
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(got_shared - ref)) / scale < 1e-14
+    # Unweighted X block: strictly symmetric, mirrored exactly.
+    xb = got_shared[:, :k]
+    np.testing.assert_array_equal(xb, xb.T)
+
+
 def test_contract_rejects_unknown_mode():
     a = jnp.ones((4, 3))
     with pytest.raises(ValueError, match="matmul mode"):

@@ -405,3 +405,45 @@ def test_reduce_sweep_cache_survives_fresh_lambdas():
         assert_allclose(np.asarray(c), 2.0 * np.asarray(a))
     finally:
         gc.enable()
+
+
+@pytest.mark.parametrize("use_w", [False, True])
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_loocv_reduce_loop_wiring(use_w, dtype):
+    """Single-chip LOOCV reduce fast path (hoisted sources + all-in-one
+    kernel), driven directly in interpret mode on CPU: operand WIRING only
+    (loose tolerance; exact kernel math is chip-verified), arbitrary fold
+    order, vs the per-fold eager engine. The sweep entry gates this path on
+    a TPU backend, so it cannot be reached through cross_validate_reduce
+    here."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.models.sweep import _loocv_reduce_loop
+
+    cfg = CVConfig(True, True, True, True, 1, dtype=dtype)
+    st = fit(cfg, X_ALL[:, :5], Y_ALL, WEIGHTS if use_w else None)
+    ref = CVMatrix(dtype=dtype).fit(X_ALL[:, :5], Y_ALL,
+                                    WEIGHTS if use_w else None)
+    n = X_ALL.shape[0]
+    rng = np.random.default_rng(3)
+    order = rng.permutation(n)[:24]  # arbitrary order, not arange
+    idx_c = np.asarray(order, np.int32).reshape(4, 6, 1)
+
+    def reduce_fn(mats, stats):
+        xtx, xty = mats
+        return {"tr": jnp.trace(xtx), "y0": xty[:, 0], "mX": stats[0]}
+
+    out = _loocv_reduce_loop(cfg, st, jnp.asarray(idx_c), reduce_fn,
+                             return_XTY=True, interpret=True)
+    assert out["tr"].shape == (4, 6)
+    tol = dict(rtol=1e-3, atol=1e-1)
+    for c in range(4):
+        for i in range(6):
+            v = np.asarray([idx_c[c, i, 0]])
+            (rx, ry), rstats = ref.training_XTX_XTY(v)
+            assert_allclose(float(out["tr"][c, i]), float(np.trace(rx)),
+                            **tol)
+            assert_allclose(np.asarray(out["y0"][c, i]),
+                            np.asarray(ry)[:, 0], **tol)
+            assert_allclose(np.asarray(out["mX"][c, i]),
+                            np.asarray(rstats[0]), **tol)
