@@ -1,0 +1,61 @@
+#!/bin/bash
+# Round-5 phase-C TPU batch: the 0.5.0 grid refresh (VERDICT r4 item 4) —
+# every figure input re-measured at the current version so
+# latest_per_config renders without a stale-mix warning. Runs AFTER
+# phase B (the aotcold mode reads the 0.5.0 AOT artifact bench.py
+# exports there).
+#
+#   cp benchmarks/tpu_batch/run_r5_phase_c.sh /tmp/run_r5c.sh
+#   nohup bash /tmp/run_r5c.sh > /tmp/seq_tpu_r5c.log 2>&1 &
+cd /root/repo
+export PYTHONUNBUFFERED=1
+export PYTHONPATH=/root/repo:/root/.axon_site
+LOGDIR=/root/repo/benchmarks/tpu_batch/logs
+mkdir -p "$LOGDIR"
+
+gate() {
+  until timeout 300 python -c "
+import time, jax, jax.numpy as jnp
+n = int(time.time()) % 89 + 11
+x = jnp.arange(float(n)) * 3.0
+print('gate ok: n=', n, 'val=', float(x[n - 1]))
+" > /tmp/r5_gate.log 2>&1; do
+    echo "tunnel/compile helper not responding $(date)"
+    sleep 180
+  done
+  echo "=== GATE OK $(date)"
+}
+
+run() {
+  name=$1; to=$2; shift 2
+  for attempt in 1 2; do
+    gate
+    echo "=== $name start (attempt $attempt) $(date)"
+    timeout "$to" "$@" > "$LOGDIR/$name.a$attempt.log" 2>&1
+    rc=$?
+    cp "$LOGDIR/$name.a$attempt.log" "$LOGDIR/$name.log"
+    echo "rc=$rc attempt=$attempt timeout=$to date=$(date -u +%FT%TZ)" \
+      > "$LOGDIR/$name.rc"
+    echo "=== $name exit $rc $(date)"
+    [ $rc -eq 0 ] && break
+  done
+}
+
+# Main grid: the 3 reference-figure combos x weighted x 7 P brackets.
+run grid_main 10800 env BENCH_PS=3,5,10,100,1000,10000,100000 BENCH_CONFIGS=plot BENCH_CSV=benchmarks/grid_tpu.csv python benchmarks/benchmark.py
+
+# All-16-combos figure (reference combos grid shape: N=10k, M=1, P=10).
+run grid_combos 7200 env BENCH_N=10000 BENCH_M=1 BENCH_PS=10 BENCH_CONFIGS=all BENCH_CSV=benchmarks/grid_tpu.csv python benchmarks/benchmark.py
+
+# JIT-modes figure rows (incl. the aotcold row via the phase-B artifact).
+run grid_modes 7200 env BENCH_PS=100,10000,100000 BENCH_CONFIGS=TTTT BENCH_MODES=nojit,coldjit,warmjit,aotcold BENCH_CSV=benchmarks/grid_tpu.csv python benchmarks/benchmark.py
+
+# f32 engine rows (separate CSV: the grid key carries no dtype, and mixed
+# dtypes would corrupt latest_per_config for the f64 figures). FFFF LOOCV
+# is the config where HBM stores are the honest ceiling (VERDICT item 3).
+run grid_f32 4800 env BENCH_DTYPE=float32 BENCH_PS=100000 BENCH_CONFIGS=TTTT,FFFF BENCH_CSV=benchmarks/grid_f32.csv python benchmarks/benchmark.py
+
+# Trim-budget -29 parity spot check (pairs with phase-B bench_budget29).
+run budget29_parity 1800 env CVMATRIX_TPU_OZAKI_BUDGET_LOG2=-29 python benchmarks/tpu_batch/drive_parity.py
+
+echo "=== ALL DONE $(date)"
