@@ -58,4 +58,9 @@ run grid_f32 4800 env BENCH_DTYPE=float32 BENCH_PS=100000 BENCH_CONFIGS=TTTT,FFF
 # Trim-budget -29 parity spot check (pairs with phase-B bench_budget29).
 run budget29_parity 1800 env CVMATRIX_TPU_OZAKI_BUDGET_LOG2=-29 python benchmarks/tpu_batch/drive_parity.py
 
+# VPU issue-rate proof, now crash-tolerant (real variants first, the
+# helper-crashing copy kernel last, per-variant failure isolation). LAST:
+# a helper crash must not cost grid rows.
+run vpu 4800 python benchmarks/vpu_bound_proof.py
+
 echo "=== ALL DONE $(date)"

@@ -153,21 +153,51 @@ def main():
         cx, cy, sx, sy = flags
         return 34 + (17 if (cx or cy) else 0) + (32 if (sx or sy) else 0)
 
+    # Real-kernel variants FIRST (programs of the same family as the
+    # product sweep, which compiles reliably); the synthetic copy kernel
+    # LAST — it crashed the remote compile helper in rounds 3-5 (broken
+    # pipe mid-compile), and with this ordering a crash only costs the
+    # measured zero-flop floor, not the whole proof. BENCH_SKIP_COPY=1
+    # omits it outright.
     variants = [
-        ("copy", None),
-        ("FFFF", (False, False, False, False)),
+        ("TTTT", (True, True, True, True)),
         ("TTFF", (True, True, False, False)),
         ("FFTT", (False, False, True, True)),
-        ("TTTT", (True, True, True, True)),
+        ("FFFF", (False, False, False, False)),
     ]
+    if os.environ.get("BENCH_SKIP_COPY", "0") != "1":
+        variants.append(("copy", None))
     out_bytes = 2 * kp * cp * 4  # the store stream per fold
     results = []
+    failed = []
+
+    def helper_alive(deadline_s=600):
+        """Wait until the remote compile helper answers again."""
+        t_end = time.time() + deadline_s
+        while time.time() < t_end:
+            try:
+                float(jnp.arange(8.0).sum() * (1 + len(results)))
+                return True
+            except Exception:
+                time.sleep(30)
+        return False
+
     for name, flags in variants:
         run = variant_runner(flags)
-        float(run(rows_all, src.scal))  # compile + warm
-        t0 = time.perf_counter()
-        float(run(rows_all, src.scal))  # probe fetch = completion barrier
-        dt = time.perf_counter() - t0
+        try:
+            float(run(rows_all, src.scal))  # compile + warm
+            t0 = time.perf_counter()
+            # probe fetch = completion barrier
+            float(run(rows_all, src.scal))
+            dt = time.perf_counter() - t0
+        except Exception as e:  # helper crash: record, recover, continue
+            failed.append({"variant": name, "error": repr(e)[:300]})
+            print(f"{name}: FAILED ({e!r})", flush=True)
+            if not helper_alive():
+                print("compile helper did not recover; stopping variants",
+                      flush=True)
+                break
+            continue
         us_fold = dt / F * 1e6
         gbps = out_bytes * F / dt / 1e9
         fl = flops_per_elem(flags)
@@ -177,6 +207,11 @@ def main():
         })
         print(f"{name}: {fl:3d} flops/elem  {us_fold:7.3f} us/fold  "
               f"{gbps:6.1f} GB/s stores", flush=True)
+
+    if len(results) < 3:
+        print(json.dumps({"ok": False, "failed": failed,
+                          "variants": results}))
+        sys.exit(1)
 
     # Linear regression of per-fold time on per-fold flops.
     xs = np.array([r["flops_per_elem"] * kp * cp for r in results], float)
@@ -193,6 +228,7 @@ def main():
         "zero_flop_floor_us": round(intercept * 1e6, 3),
         "r_squared": round(float(r2), 4),
         "variants": results,
+        "failed": failed,
     }
     print(json.dumps(verdict))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
