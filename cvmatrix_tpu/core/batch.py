@@ -965,6 +965,11 @@ def batched_matrices_from_blocks(
 # pick per shape.
 LARGE_FOLD_ROWS = 32
 FUSED_LARGE_FOLD_ROWS = 10
+# Above this padded K the default large-fold route computes the downdate
+# product with the column-blocked in-place pair contraction (no full-size
+# f64 product temporary; see _large_fold_pallas_path). Module constant so
+# tests can lower it and drive the route at test scale.
+_BLOCKED_PROD_MIN_KP = 8192
 
 
 def _fused_ozaki_eligible(config, state, return_XTX, return_XTY) -> bool:
@@ -1077,6 +1082,12 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
             and _use_exact(config.matmul_mode, jnp.float64)
             and k >= _precise._SYRK_MIN_K
         )
+        use_blocked = (
+            not use_syrk
+            and kp >= _BLOCKED_PROD_MIN_KP
+            and n_l <= _precise._GROUP_CHUNK
+            and _use_exact(config.matmul_mode, jnp.float64)
+        )
         if use_syrk:
             prod_t = jax.vmap(
                 lambda a, b: contract(a, b, mode=config.matmul_mode,
@@ -1084,16 +1095,27 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
             )(blocks.Xv_w.astype(f64), m2.astype(f64))
             prod64 = jnp.zeros(
                 (f_folds, kp, cp), f64).at[:, :k, :c].set(prod_t)
+        elif use_blocked:
+            # Genomics-wide K: the unblocked route's f64 product + pair
+            # split keeps several (Kp, Cp)-sized temporaries alive at once
+            # — measured OOM on a 16 GB chip (round 5). The blocked
+            # contraction emits (2, Kp, Cp) pair planes in-place, one
+            # output-row block at a time, bit-identical arithmetic.
+            xvp, m2p = padded_row_operands()
+            prod_pair = jax.vmap(
+                lambda a, b: _precise.blocked_pair_contract(a, b)
+            )(xvp, m2p)
         else:
             xvp, m2p = padded_row_operands()
             prod64 = jax.vmap(
                 lambda a, b: contract(a, b, mode=config.matmul_mode)
             )(xvp, m2p)
-        # One (F, 2, Kp, Cp) pair buffer: the stack fuses into the pair
-        # split's producing pass, and the epilogue kernel writes its output
-        # into this same buffer (input_output_aliases) — at genomics-wide K
-        # each such buffer is >3 GB of HBM.
-        prod_pair = jnp.stack(df_from_f64(prod64), axis=1)
+        if not use_blocked:
+            # One (F, 2, Kp, Cp) pair buffer: the stack fuses into the pair
+            # split's producing pass, and the epilogue kernel writes its
+            # output into this same buffer (input_output_aliases) — at
+            # genomics-wide K each such buffer is >3 GB of HBM.
+            prod_pair = jnp.stack(df_from_f64(prod64), axis=1)
 
     # Per-fold K/C vectors (REFERENCE form: p/q unscaled, stds in i1/i2).
     i1 = i2 = p_vec = q_vec = None

@@ -461,6 +461,92 @@ def _round_up_pow2_cap(k: int) -> int:
     return max(128, ((k + 127) // 128) * 128)
 
 
+def blocked_pair_contract(
+    a: jax.Array,
+    b: jax.Array,
+    *,
+    block_rows: int = 2048,
+    n_slices: int = _N_SLICES,
+) -> jax.Array:
+    """``a.T @ b`` as ``(2, Ka, Cb)`` f32 double-float pair planes, blocked.
+
+    The genomics-wide fold downdate (``(20k, 20k)`` per-fold products,
+    ref ``cvmatrix/cvmatrix.py:1001``) cannot afford a materialised f64
+    product: at K=20k one product is ~3.2 GB and the straightforward
+    ``contract`` + pair-split route keeps several output-sized
+    temporaries alive at once (measured OOM on a 16 GB chip, round 5).
+    This variant computes output-row blocks of ``a``'s columns one scan
+    step at a time — b's mantissa slices are built ONCE and shared by all
+    blocks — converts each f64 block to a double-float (hi, lo) pair
+    immediately, and writes it in-place into the one ``(2, Ka, Cb)`` f32
+    result buffer (the layout the fused epilogue kernel consumes, so the
+    caller needs no further stack/pad pass).
+
+    Arithmetic per block is identical to :func:`ozaki_contract`'s
+    same-exponent group path (exact int32 prefix sums, one f64
+    recombination per group), so the result is bit-identical to the
+    unblocked contraction. Requires ``a.shape[0] <= _GROUP_CHUNK`` (one
+    row chunk — validation blocks are) and ``Ka``/``block_rows`` multiples
+    of 128; a ragged final block is handled as a static tail step.
+    """
+    n, ka = a.shape
+    cb_ = b.shape[1]
+    assert n <= _GROUP_CHUNK, (n, _GROUP_CHUNK)
+    f64 = jnp.float64
+    e_a = _column_scale(a)
+    e_b = _column_scale(b)
+    a_s = a.astype(f64) * _pow2(-e_a)[None, :]
+    b_s = b.astype(f64) * _pow2(-e_b)[None, :]
+    sa_flat = jnp.stack(_mantissa_slices(a_s, n_slices)).reshape(
+        n_slices * n, ka
+    )
+    sb_flat = jnp.stack(
+        _mantissa_slices(b_s, n_slices)[::-1]
+    ).reshape(n_slices * n, cb_)
+    group_scale = [2.0 ** (-_T_BITS * (s + 2.0)) for s in range(n_slices)]
+
+    def block(buf, c0, rows_blk):
+        sa_blk = jax.lax.dynamic_slice(
+            sa_flat, (jnp.int32(0), c0), (n_slices * n, rows_blk)
+        )
+        acc = jnp.zeros((rows_blk, cb_), f64)
+        for s in range(n_slices):
+            d32 = jax.lax.dot_general(
+                jax.lax.slice_in_dim(sa_blk, 0, (s + 1) * n, axis=0),
+                jax.lax.slice_in_dim(
+                    sb_flat, (n_slices - 1 - s) * n, n_slices * n, axis=0
+                ),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = acc + d32.astype(f64) * group_scale[s]
+        e_blk = jax.lax.dynamic_slice_in_dim(e_a, c0, rows_blk)
+        # Exponent SUM inside one _pow2 (the factored 2^ea * 2^eb form
+        # can produce inf * 0 -> NaN when the factors individually
+        # over/underflow while the sum is in range).
+        out = acc * _pow2(e_blk[:, None] + e_b[None, :])
+        hi = out.astype(jnp.float32)
+        lo = (out - hi.astype(f64)).astype(jnp.float32)
+        return jax.lax.dynamic_update_slice(
+            buf, jnp.stack([hi, lo]), (jnp.int32(0), c0, jnp.int32(0))
+        )
+
+    bk = min(block_rows, ka)
+    nb_full = ka // bk
+    rem = ka - nb_full * bk
+    buf = jnp.zeros((2, ka, cb_), jnp.float32)
+
+    def step(carry, i):
+        return block(carry, i * bk, bk), None
+
+    buf, _ = jax.lax.scan(
+        step, buf, jnp.arange(nb_full, dtype=jnp.int32)
+    )
+    if rem:
+        buf = block(buf, jnp.int32(nb_full * bk), rem)
+    return buf
+
+
 def outer_accumulate_contract(a: jax.Array, b: jax.Array) -> jax.Array:
     """``a.T @ b`` as a scan of rank-one outer-product updates.
 

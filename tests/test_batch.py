@@ -355,3 +355,35 @@ def test_from_blocks_routes_with_globals_only_state():
             cfg, st, blocks, stats5, impl="xla")
         assert_allclose(np.asarray(kx), np.asarray(rx), rtol=1e-5, atol=1e-2)
         assert_allclose(np.asarray(ky), np.asarray(ry), rtol=1e-5, atol=1e-2)
+
+
+def test_blocked_product_routes_and_matches(interpret_pallas, monkeypatch):
+    """Genomics-wide default route: above _BLOCKED_PROD_MIN_KP the
+    large-fold path computes the downdate product with the column-blocked
+    in-place pair contraction; results match the unblocked route."""
+    from cvmatrix_tpu.core import batch as B
+    from cvmatrix_tpu.ops import precise as PR
+
+    rng = np.random.default_rng(7)
+    # m >> k defeats the all-in-one fused kernel (cp > kp) so the split
+    # MXU-product branch runs; folds of 50 rows >= LARGE_FOLD_ROWS.
+    X, Y, w = rng.random((200, 6)), rng.random((200, 130)), rng.random(200)
+    cfg = CVConfig(True, True, True, True, ddof=1, dtype=np.float64,
+                   matmul_mode="exact")
+    p = Partitioner(np.arange(200) % 4)
+    keys, idx, mask = p.padded_batches()
+    st = fit(cfg, X, Y, w)
+    base = training_matrices_batched(cfg, st, idx, mask, impl="pallas")
+
+    calls = {"n": 0}
+    real = PR.blocked_pair_contract
+
+    def spy(a, b, **kw):
+        calls["n"] += 1
+        return real(a, b, **kw)
+
+    monkeypatch.setattr(PR, "blocked_pair_contract", spy)
+    monkeypatch.setattr(B, "_BLOCKED_PROD_MIN_KP", 8)
+    got = training_matrices_batched(cfg, st, idx, mask, impl="pallas")
+    assert calls["n"] > 0
+    _assert_close(base, got, 1e-10)

@@ -286,3 +286,26 @@ def test_contract_rejects_unknown_mode():
     a = jnp.ones((4, 3))
     with pytest.raises(ValueError, match="matmul mode"):
         contract(a, a, mode="exakt")
+
+
+def test_blocked_pair_contract_bit_identical_and_accurate():
+    """Column-blocked in-place pair contraction: bit-identical planes to
+    the unblocked ozaki path (same exact int32 group sums, same split),
+    ragged tail included, and f64-grade vs NumPy."""
+    from cvmatrix_tpu.ops.df64 import df_from_f64, df_to_f64
+    from cvmatrix_tpu.ops.precise import blocked_pair_contract, ozaki_contract
+
+    rng = np.random.default_rng(9)
+    n, ka, cb = 300, 640, 389  # 640 = 2x256 + ragged 128 tail
+    a = rng.standard_normal((n, ka)) * 10
+    b = rng.standard_normal((n, cb))
+    pair = blocked_pair_contract(jnp.asarray(a), jnp.asarray(b),
+                                 block_rows=256)
+    assert pair.shape == (2, ka, cb)
+    full = ozaki_contract(jnp.asarray(a), jnp.asarray(b))
+    hi, lo = df_from_f64(full)
+    np.testing.assert_array_equal(np.asarray(pair[0]), np.asarray(hi))
+    np.testing.assert_array_equal(np.asarray(pair[1]), np.asarray(lo))
+    ref = a.T @ b
+    got = np.asarray(df_to_f64(pair[0], pair[1]))
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-13
