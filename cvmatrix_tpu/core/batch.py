@@ -1073,14 +1073,15 @@ def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
         # mix Y columns into it), so the mirrored contraction skips
         # ~45% of the per-fold MXU work; the price is padding the (kp, cp)
         # product afterwards — one extra fused output write per fold.
-        # Off by default until the widek A/B weighs write vs MXU savings.
-        # (Padded row operands are built only on the branch that consumes
-        # them — at genomics-wide Kp they are ~MBs of dead work per chunk
-        # otherwise.)
+        # CAPPED below the blocked-product threshold: at genomics-wide K
+        # this route's full f64 product + padded copy + pair buffer OOMed
+        # a 16 GB chip (round 5, logs/widek_syrk.a1.log) while the blocked
+        # route below completed — the A/B is decided by fitting at all.
         use_syrk = (
             _policy().batch_syrk and return_XTX
             and _use_exact(config.matmul_mode, jnp.float64)
             and k >= _precise._SYRK_MIN_K
+            and kp < _BLOCKED_PROD_MIN_KP
         )
         use_blocked = (
             not use_syrk
