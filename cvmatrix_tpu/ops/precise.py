@@ -346,9 +346,12 @@ def symmetric_contract(
         """Raw f64 accumulator tile for column-block pair (bi, bj)."""
         sa_ij = jax.lax.dynamic_slice_in_dim(sa_flat, bi, cb, axis=1)
         sb_ij = jax.lax.dynamic_slice_in_dim(sb_flat, bj, cb, axis=1)
-        acc = jnp.zeros((cb, cb), f64)
-        for s in range(n_slices):
-            d32 = jax.lax.dot_general(
+        # Dots first, recombination chained after (same left-fold order —
+        # bit identical): each dot is a fusion barrier, so interleaving
+        # the adds would round-trip the f64 tile through HBM per group
+        # (see blocked_pair_contract for the full rationale).
+        d32s = [
+            jax.lax.dot_general(
                 jax.lax.slice_in_dim(sa_ij, 0, (s + 1) * rows, axis=0),
                 jax.lax.slice_in_dim(
                     sb_ij, (n_slices - 1 - s) * rows,
@@ -357,7 +360,11 @@ def symmetric_contract(
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            acc = acc + d32.astype(f64) * group_scale[s]
+            for s in range(n_slices)
+        ]
+        acc = d32s[0].astype(f64) * group_scale[0]
+        for s in range(1, n_slices):
+            acc = acc + d32s[s].astype(f64) * group_scale[s]
         return acc
 
     # Output assembly happens in-place inside a scan over pairs: each step
@@ -509,9 +516,15 @@ def blocked_pair_contract(
         sa_blk = jax.lax.dynamic_slice(
             sa_flat, (jnp.int32(0), c0), (n_slices * n, rows_blk)
         )
-        acc = jnp.zeros((rows_blk, cb_), f64)
-        for s in range(n_slices):
-            d32 = jax.lax.dot_general(
+        # All group dots FIRST, then one chained recombination: each dot
+        # is a fusion barrier, so the interleaved add-after-every-dot form
+        # round-trips the f64 accumulator through HBM once per group.
+        # Chaining the adds afterwards (same left-fold order — bit
+        # identical) fuses the whole recombination into ONE output pass;
+        # the int32 products it keeps alive are block-sized (~0.17 GB
+        # each at the genomics shape), not output-sized.
+        d32s = [
+            jax.lax.dot_general(
                 jax.lax.slice_in_dim(sa_blk, 0, (s + 1) * n, axis=0),
                 jax.lax.slice_in_dim(
                     sb_flat, (n_slices - 1 - s) * n, n_slices * n, axis=0
@@ -519,7 +532,11 @@ def blocked_pair_contract(
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            acc = acc + d32.astype(f64) * group_scale[s]
+            for s in range(n_slices)
+        ]
+        acc = d32s[0].astype(f64) * group_scale[0]
+        for s in range(1, n_slices):
+            acc = acc + d32s[s].astype(f64) * group_scale[s]
         e_blk = jax.lax.dynamic_slice_in_dim(e_a, c0, rows_blk)
         # Exponent SUM inside one _pow2 (the factored 2^ea * 2^eb form
         # can produce inf * 0 -> NaN when the factors individually
