@@ -993,6 +993,23 @@ def large_fold_threshold(config, state, return_XTX, return_XTY) -> int:
     return LARGE_FOLD_ROWS
 
 
+# HBM a whole-sweep operand hoist may occupy (matches the sweep drivers'
+# default per-chunk budgets). Above this the reduce sweeps fall back to
+# per-chunk prep rather than pinning multi-GB u/v streams for the run.
+_HOIST_BUDGET_BYTES = 4e9
+
+
+def _hoisted_operand_bytes(state, n_folds, n_l, return_XTX,
+                           return_XTY) -> int:
+    """Estimated bytes of :func:`prepare_fold_operands`' packed streams.
+
+    u: (F, L, 2, Kp) f32, v: (F, L, 2, Cp), kvec/cvec: (F, 2, 2, Kp/Cp) —
+    the fold-axis streams a whole-sweep hoist keeps resident.
+    """
+    _, _, kp, cp, _ = _padded_dims(state, return_XTX, return_XTY)
+    return 8 * n_folds * (n_l + 2) * (kp + cp)
+
+
 def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
                             return_XTY, total_planes=None,
                             blocks_stats=None, interpret=False):

@@ -203,8 +203,11 @@ def cross_validate_reduce(
 def _reduce_sweep_impl(config, return_XTX, return_XTY, impl, reduce_fn,
                        state, idx_c, mask_c):
     from ..core.batch import (
+        _HOIST_BUDGET_BYTES,
+        _hoisted_operand_bytes,
         _padded_dims,
         _total_planes,
+        LARGE_FOLD_ROWS,
         large_fold_threshold,
         loocv_single_tile_ok,
         training_matrices_batched,
@@ -226,6 +229,29 @@ def _reduce_sweep_impl(config, return_XTX, return_XTY, impl, reduce_fn,
     ):
         return _loocv_reduce_loop(
             config, state, idx_c, reduce_fn, return_XTY,
+        )
+
+    # Small-fold fast path: hoist prepare_fold_operands ONCE over the whole
+    # sweep (the materialize sweep's structure) instead of re-running its
+    # gathers/stats/packing per chunk — at P=10k mid-band folds the
+    # per-chunk prep was a measurable multiple of the packed-kernel math
+    # (round-4 diag: mesh fold math 1.21x the hoisted single-chip sweep).
+    # reduce_fn consumption slices the hoisted stat streams per chunk.
+    n_l = idx_c.shape[2]
+    if (
+        impl in ("auto", "pallas")
+        and jax.default_backend() == "tpu"
+        and np.dtype(config.dtype).itemsize in (4, 8)
+        and n_l < (
+            large_fold_threshold(config, state, return_XTX, return_XTY)
+            if np.dtype(config.dtype).itemsize == 8 else LARGE_FOLD_ROWS
+        )
+        and _hoisted_operand_bytes(
+            state, idx_c.shape[0] * idx_c.shape[1], n_l,
+            return_XTX, return_XTY) <= _HOIST_BUDGET_BYTES
+    ):
+        return _smallfold_reduce_loop(
+            config, state, idx_c, mask_c, reduce_fn, return_XTX, return_XTY,
         )
 
     # Hoist the kernel's padded total planes out of the chunk loop: built
@@ -328,6 +354,65 @@ def _loocv_reduce_loop(config, state, idx_c, reduce_fn, return_XTY,
         )(ci[:, None])
         stats5 = stats_from_blocks(config, state, blocks, True, return_XTY)
         return carry, jax.vmap(reduce_fn)(mats, stats5[:4])
+
+    _, red = jax.lax.scan(
+        body, None, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return red
+
+
+def _smallfold_reduce_loop(config, state, idx_c, mask_c, reduce_fn,
+                           return_XTX, return_XTY, interpret=False):
+    """Hoisted-prep small-fold reduce sweep (L below the MXU threshold).
+
+    The reduce counterpart of :func:`materialize_sweep`'s packed path:
+    :func:`~cvmatrix_tpu.core.batch.prepare_fold_operands` runs ONCE for
+    every fold (gathers, downdated stats, factor scaling, pair conversion,
+    packing), then a scan slices the operand and stat streams per chunk,
+    runs the packed downdate kernel, converts the pair planes and
+    immediately reduces. Same reduce_fn contract as the generic body
+    (f64/f32 matrices + the stats 4-tuple).
+    """
+    from ..core.batch import (
+        downdate_from_operands,
+        prepare_fold_operands,
+        slice_operands,
+    )
+    from ..ops import kernels as _k
+    from ..ops.df64 import df_to_f64
+
+    is_f64 = np.dtype(config.dtype).itemsize == 8
+    n_chunks, bs = idx_c.shape[0], idx_c.shape[1]
+    idx = idx_c.reshape(n_chunks * bs, idx_c.shape[2])
+    mask = (
+        None if mask_c is None
+        else mask_c.reshape(n_chunks * bs, mask_c.shape[2])
+    )
+    ops, stats = prepare_fold_operands(
+        config, state, idx, mask,
+        return_XTX=return_XTX, return_XTY=return_XTY, with_stats=True,
+    )
+    k, c = ops.k, ops.c
+
+    def body(carry, ci):
+        o = slice_operands(ops, ci * bs, bs)
+        if is_f64:
+            pair = downdate_from_operands(o, interpret=interpret)
+            out = df_to_f64(pair[:, 0, :k, :c], pair[:, 1, :k, :c])
+        else:
+            out32 = _k.fused_downdate_f32_packed(
+                o.total4, o.u, o.v, o.kvec, o.cvec,
+                center=o.center, scale=o.scale, interpret=interpret,
+            )
+            out = out32[:, :k, :c]
+        mats = (
+            (out[:, :, :k], out[:, :, k:]) if (return_XTX and return_XTY)
+            else out
+        )
+        st_c = jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, ci * bs, bs, 0), stats
+        )
+        return carry, jax.vmap(reduce_fn)(mats, st_c)
 
     _, red = jax.lax.scan(
         body, None, jnp.arange(n_chunks, dtype=jnp.int32)

@@ -557,6 +557,41 @@ def sharded_cross_validate_reduce(
                     batch_size // n_dev, n_folds,
                     return_XTY=return_XTY, interpret=interpret,
                 )
+    # Small-fold hoisted path: ONE fold-sharded gather collective for the
+    # WHOLE fold list (row ownership partitions the data, so total wire
+    # bytes equal the generic path's per-chunk gathers combined), then each
+    # device runs the single-chip sweep's hoisted-prep structure on its
+    # fold slice — prepare_fold_operands once, packed kernel + reduce per
+    # chunk. Kills the per-chunk gather/prep overhead that made mesh fold
+    # math 1.21x the hoisted single-chip sweep at mid-band P (round-4 diag).
+    if (
+        impl_r == "pallas"
+        and np.dtype(config.dtype).itemsize in (4, 8)
+        and state.X.shape[0] % n_dev == 0
+    ):
+        from ..core.batch import (
+            _HOIST_BUDGET_BYTES,
+            _hoisted_operand_bytes,
+            LARGE_FOLD_ROWS,
+            large_fold_threshold,
+        )
+
+        n_l = idx.shape[1]
+        threshold = (
+            large_fold_threshold(config, state, return_XTX, return_XTY)
+            if np.dtype(config.dtype).itemsize == 8 else LARGE_FOLD_ROWS
+        )
+        if n_l < threshold and _hoisted_operand_bytes(
+            state, -(-n_folds // n_dev), n_l, return_XTX, return_XTY
+        ) <= _HOIST_BUDGET_BYTES:
+            return _sharded_smallfold_reduce(
+                config, state, mesh, idx,
+                None if mask_batch is None
+                else jnp.asarray(mask_batch, config.dtype),
+                reduce_fn, batch_size // n_dev, n_folds,
+                return_XTX=return_XTX, return_XTY=return_XTY,
+                interpret=interpret,
+            )
     mask = None if mask_batch is None else jnp.asarray(mask_batch, config.dtype)
     # Chunk size: a multiple of the mesh size, equalized over chunks.
     bs = max(n_dev, min(batch_size, n_folds) // n_dev * n_dev)
@@ -840,6 +875,126 @@ def _loocv_identity_program(config, mesh, names, weighted, is_f64, k, m,
     )
 
 
+def _sharded_smallfold_reduce(
+    config, state, mesh, idx, mask, reduce_fn, bs_local_target, n_folds,
+    *, return_XTX, return_XTY, interpret,
+):
+    """Hoisted-prep mesh reduce sweep for small folds (L below threshold).
+
+    Folds are block-distributed: device ``d`` owns folds
+    ``[d*F_loc, (d+1)*F_loc)``. ONE mask-and-reduce-scatter collective
+    delivers every fold's validation rows to its owner, then each device
+    mirrors :func:`models.sweep._smallfold_reduce_loop`: operands and
+    stats prepared once from the gathered blocks, a scan of
+    slice + packed-kernel + reduce steps. Outputs return device-major and
+    are re-indexed to the caller's fold order here.
+    """
+    n_dev = mesh.shape[ROWS]
+    f_loc = -(-n_folds // n_dev)
+    bs_local = max(1, min(bs_local_target, f_loc))
+    n_chunks = -(-f_loc // bs_local)
+    bs_local = -(-f_loc // n_chunks)
+    f_loc = n_chunks * bs_local
+    pad = n_dev * f_loc - n_folds
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(idx[-1:], (pad,) + idx.shape[1:])]
+        )
+        if mask is not None:
+            mask = jnp.concatenate(
+                [mask, jnp.broadcast_to(mask[-1:], (pad,) + mask.shape[1:])]
+            )
+    shard_rows = state.X.shape[0] // n_dev
+    sources = _gather_sources(config, state, return_XTY)
+    globals_only = _globals_only(config, state)
+    red = _smallfold_program(
+        config, mesh, tuple(sources.keys()), state.weights is not None,
+        np.dtype(config.dtype).itemsize == 8, return_XTX, return_XTY,
+        interpret, shard_rows, f_loc, bs_local, n_chunks,
+        _fn_cache_key(reduce_fn), _Uncached(reduce_fn),
+    )(sources, globals_only, idx, mask)
+
+    def assemble(a):
+        rest = a.shape[2:]
+        flat = a.reshape(n_chunks, n_dev, bs_local, *rest).swapaxes(0, 1)
+        return flat.reshape(n_dev * f_loc, *rest)[:n_folds]
+
+    return jax.tree.map(assemble, red)
+
+
+@lru_cache(maxsize=64)
+def _smallfold_program(config, mesh, names, weighted, is_f64, return_XTX,
+                       return_XTY, interpret, shard_rows, f_loc, bs_local,
+                       n_chunks, reduce_key, reduce_carrier):
+    reduce_fn = reduce_carrier.value
+    from ..core.batch import (
+        downdate_from_operands,
+        prepare_fold_operands,
+        slice_operands,
+        stats_from_blocks,
+    )
+    from ..ops import kernels as _k
+    from ..ops.df64 import df_to_f64
+
+    split64 = next(iter(mesh.devices.flat)).platform == "tpu"
+    single = mesh.shape[ROWS] == 1
+
+    def body(srcs, st, ia, ma):
+        gathered = _local_gather_scatter(srcs, ia, shard_rows,
+                                         split64=split64, single_dev=single)
+        d = jax.lax.axis_index(ROWS)
+        my_mask = (
+            None if ma is None
+            else jax.lax.dynamic_slice_in_dim(ma, d * f_loc, f_loc, 0)
+        )
+        blocks = _blocks_from_gathered(config, weighted, gathered, my_mask,
+                                       return_XTY)
+        stats5 = stats_from_blocks(config, st, blocks, return_XTX,
+                                   return_XTY)
+        ops, stats = prepare_fold_operands(
+            config, st, None, None,
+            return_XTX=return_XTX, return_XTY=return_XTY,
+            blocks_stats=(blocks, stats5),
+        )
+        k, c = ops.k, ops.c
+
+        def step(carry, ci):
+            o = slice_operands(ops, ci * bs_local, bs_local)
+            if is_f64:
+                pair = downdate_from_operands(o, interpret=interpret)
+                out = df_to_f64(pair[:, 0, :k, :c], pair[:, 1, :k, :c])
+            else:
+                out32 = _k.fused_downdate_f32_packed(
+                    o.total4, o.u, o.v, o.kvec, o.cvec,
+                    center=o.center, scale=o.scale, interpret=interpret,
+                )
+                out = out32[:, :k, :c]
+            mats = (
+                (out[:, :, :k], out[:, :, k:])
+                if (return_XTX and return_XTY) else out
+            )
+            st_c = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(
+                    a, ci * bs_local, bs_local, 0),
+                stats,
+            )
+            return carry, jax.vmap(reduce_fn)(mats, st_c)
+
+        _, red = jax.lax.scan(
+            step, None, jnp.arange(n_chunks, dtype=jnp.int32)
+        )
+        return red  # (n_chunks, bs_local, ...)
+
+    return jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=({k_: P(ROWS, None) for k_ in names}, P(), P(), P()),
+            out_specs=P(None, ROWS),
+            check_vma=False,
+        )
+    )
+
+
 # Routing-policy hooks: set_routing re-traces the mesh programs (the
 # kernel route is baked in at trace time).
 _register_routing_cache(_sharded_fit_program)
@@ -847,3 +1002,4 @@ _register_routing_cache(_gather_program)
 _register_routing_cache(_fold_math_program)
 _register_routing_cache(_reduce_program_cached)
 _register_routing_cache(_loocv_identity_program)
+_register_routing_cache(_smallfold_program)

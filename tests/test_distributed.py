@@ -383,3 +383,82 @@ def test_mesh_loocv_non_identity_stays_generic(mesh):
     )
     assert_allclose(np.asarray(red), np.asarray(idn)[perm[:, 0]],
                     rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("use_w", [False, True])
+def test_mesh_smallfold_hoisted_path(mesh, use_w):
+    """Small-L folds with the Pallas impl dispatch to the one-collective
+    hoisted-prep program (``_smallfold_program``) and match the generic
+    xla mesh path — arbitrary fold order, uneven fold count (padding),
+    weighted and unweighted."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.parallel import distributed as D
+
+    cfg = CVConfig(True, True, True, True, 1)
+    w = zero_fraction(WEIGHTS) if use_w else None
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, w)
+    rng = np.random.default_rng(11)
+    idx = np.stack([rng.permutation(X_ALL.shape[0])[:5] for _ in range(19)])
+
+    def reduce_fn(mats, stats):
+        return jnp.trace(mats[0]) + jnp.sum(mats[1]) + jnp.sum(stats[0])
+
+    m0 = D._smallfold_program.cache_info().misses
+    red = sharded_cross_validate_reduce(
+        cfg, st, idx, mesh=mesh, reduce_fn=reduce_fn, batch_size=16,
+        impl="pallas", interpret=True,
+    )
+    assert D._smallfold_program.cache_info().misses == m0 + 1
+    assert red.shape == (19,)
+    ref = sharded_cross_validate_reduce(
+        cfg, st, idx, mesh=mesh, reduce_fn=reduce_fn, batch_size=16,
+        impl="xla",
+    )
+    assert_allclose(np.asarray(red), np.asarray(ref), rtol=1e-5, atol=1e-2)
+
+
+def test_mesh_smallfold_masked_f32(mesh):
+    """f32 engine + padded-fold masks through the hoisted small-fold mesh
+    program (masks ride the gathered blocks into prepare_fold_operands)."""
+    import jax.numpy as jnp
+
+    cfg = CVConfig(True, False, True, False, 0, dtype=np.float32)
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, None)
+    rng = np.random.default_rng(12)
+    idx = np.stack([rng.permutation(X_ALL.shape[0])[:4] for _ in range(13)])
+    mk = (rng.random((13, 4)) > 0.25).astype(np.float64)
+    mk[:, 0] = 1.0
+
+    def reduce_fn(mats, stats):
+        return jnp.trace(mats[0])
+
+    red = sharded_cross_validate_reduce(
+        cfg, st, idx, mk, mesh=mesh, reduce_fn=reduce_fn, batch_size=8,
+        impl="pallas", interpret=True,
+    )
+    ref = sharded_cross_validate_reduce(
+        cfg, st, idx, mk, mesh=mesh, reduce_fn=reduce_fn, batch_size=8,
+        impl="xla",
+    )
+    assert_allclose(np.asarray(red), np.asarray(ref), rtol=1e-3, atol=1e-1)
+
+
+def test_mesh_large_folds_stay_generic(mesh):
+    """L >= LARGE_FOLD_ROWS must NOT take the hoisted small-fold program
+    (large folds belong to the MXU-product chunk path)."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.parallel import distributed as D
+
+    cfg = CVConfig(True, True, True, True, 1, dtype=np.float32)
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, WEIGHTS)
+    idx = np.arange(128).reshape(4, 32)  # n_l = 32 >= LARGE_FOLD_ROWS
+
+    m0 = D._smallfold_program.cache_info().misses
+    sharded_cross_validate_reduce(
+        cfg, st, idx, mesh=mesh,
+        reduce_fn=lambda m, s: jnp.trace(m[0]), batch_size=8,
+        impl="pallas", interpret=True,
+    )
+    assert D._smallfold_program.cache_info().misses == m0

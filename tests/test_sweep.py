@@ -447,3 +447,44 @@ def test_loocv_reduce_loop_wiring(use_w, dtype):
                             np.asarray(ry)[:, 0], **tol)
             assert_allclose(np.asarray(out["mX"][c, i]),
                             np.asarray(rstats[0]), **tol)
+
+
+@pytest.mark.parametrize("use_w", [False, True])
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_smallfold_reduce_loop_wiring(use_w, dtype):
+    """Single-chip small-fold reduce fast path (hoisted prepare_fold_operands
+    + packed downdate kernel), driven directly in interpret mode on CPU:
+    operand WIRING only (loose tolerance; exact kernel math is
+    chip-verified) vs the per-fold eager engine. The sweep entry gates this
+    path on a TPU backend, so it cannot be reached through
+    cross_validate_reduce here."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.models.sweep import _smallfold_reduce_loop
+
+    cfg = CVConfig(True, True, True, True, 1, dtype=dtype)
+    st = fit(cfg, X_ALL[:, :5], Y_ALL, WEIGHTS if use_w else None)
+    ref = CVMatrix(dtype=dtype).fit(X_ALL[:, :5], Y_ALL,
+                                    WEIGHTS if use_w else None)
+    rng = np.random.default_rng(5)
+    idx = np.stack([rng.permutation(X_ALL.shape[0])[:6] for _ in range(12)])
+    idx_c = jnp.asarray(idx.reshape(3, 4, 6))
+
+    def reduce_fn(mats, stats):
+        xtx, xty = mats
+        return {"tr": jnp.trace(xtx), "y0": xty[:, 0], "sX": stats[1]}
+
+    out = _smallfold_reduce_loop(cfg, st, idx_c, None, reduce_fn,
+                                 True, True, interpret=True)
+    assert out["tr"].shape == (3, 4)
+    tol = dict(rtol=1e-3, atol=1e-1)
+    for c in range(3):
+        for i in range(4):
+            v = idx[c * 4 + i]
+            (rx, ry), rstats = ref.training_XTX_XTY(v)
+            assert_allclose(float(out["tr"][c, i]), float(np.trace(rx)),
+                            **tol)
+            assert_allclose(np.asarray(out["y0"][c, i]),
+                            np.asarray(ry)[:, 0], **tol)
+            assert_allclose(np.asarray(out["sX"][c, i]),
+                            np.asarray(rstats[1]), **tol)
