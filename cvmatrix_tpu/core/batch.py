@@ -1010,6 +1010,33 @@ def _hoisted_operand_bytes(state, n_folds, n_l, return_XTX,
     return 8 * n_folds * (n_l + 2) * (kp + cp)
 
 
+def _v3_hoist_bytes(state, n_folds, n_l) -> int:
+    """Estimated resident bytes of a hoisted v3 reduce sweep: the int8
+    dataset slice planes (both sides) plus the per-fold vector and stat
+    streams the scan slices from."""
+    kp = _round_up(max(state.K, 8), 128)
+    n_sp = kernels.ozaki_trim_groups(n_l)
+    planes = 2 * n_sp * state.X.shape[0] * kp
+    streams = n_folds * (2 * kp + 4 * kp + 128) * 4
+    stats = n_folds * state.K * 8 * 2
+    return planes + streams + stats
+
+
+def _v3_blocks_hoist_bytes(state, n_folds, n_l) -> int:
+    """Estimated per-device resident bytes of a blocks-built hoisted v3
+    sweep (:func:`ozaki_operands_from_blocks`): (Sp, F * Lp, Kp) int8
+    streams both sides, the gathered f64 blocks, and the vector/stat
+    streams."""
+    kp = _round_up(max(state.K, 8), 128)
+    lp = _round_up(n_l, 32)
+    n_sp = kernels.ozaki_trim_groups(n_l)
+    int8_streams = 2 * n_sp * n_folds * lp * kp
+    blocks = 2 * n_folds * n_l * state.K * 8
+    streams = n_folds * (2 * kp + 4 * kp + 128) * 4
+    stats = n_folds * state.K * 8 * 2
+    return int8_streams + blocks + streams + stats
+
+
 def _large_fold_pallas_path(config, state, idx, mask, *, return_XTX,
                             return_XTY, total_planes=None,
                             blocks_stats=None, interpret=False):
@@ -1680,6 +1707,50 @@ def _fold_scalar_stream_from_blocks(config, state, blocks, f_folds, n_l,
     return scal
 
 
+class OzakiBlockOperands(NamedTuple):
+    """Sliced v3 operands built from pre-gathered blocks (mesh/mid-band).
+
+    ``sa``/``sb_rev`` are (Sp, F * Lp, Kp/Cp) int8 row-major streams —
+    fold ``f``'s rows occupy ``[f * Lp, (f+1) * Lp)`` on axis 1, so chunk
+    slicing is contiguous. ``sxv``/``yvec``/``scal`` are the per-fold
+    vector streams; the rest is chunk-invariant."""
+
+    total2: jnp.ndarray
+    sa: jnp.ndarray
+    sb_rev: jnp.ndarray
+    pa: jnp.ndarray
+    pb: jnp.ndarray
+    gx: jnp.ndarray
+    sxv: jnp.ndarray
+    yvec: jnp.ndarray
+    ymask: jnp.ndarray
+    scal: jnp.ndarray
+    lp: int
+
+
+def ozaki_v3_run(config: CVConfig, ops: OzakiBlockOperands, sa, sb_rev,
+                 sxv, yvec, scal, *, return_XTY: bool,
+                 interpret: bool = False):
+    """Run the v3 kernel on (a chunk slice of) block-built operands."""
+    bt_sym = loocv_sym_tile(ops.total2.shape[1]) if _sym_enabled() else None
+    kern = (
+        kernels.fused_ozaki_downdate_v3 if bt_sym is None
+        else functools.partial(kernels.fused_ozaki_downdate_v3_sym,
+                               bt=bt_sym)
+    )
+    return kern(
+        ops.total2, sa, sb_rev, ops.pa, ops.pb, ops.gx, sxv, yvec,
+        ops.ymask, scal,
+        center_xtx=config.center_X,
+        center_xty=config.center_X or config.center_Y,
+        scale_x=config.scale_X,
+        scale_y=config.scale_Y,
+        with_y=return_XTY,
+        resolution=config.resolution,
+        interpret=interpret,
+    )
+
+
 def ozaki_v3_from_blocks(config: CVConfig, state: FitState, blocks, stats5,
                          *, return_XTY: bool, interpret: bool = False):
     """v3 fused Ozaki downdate for pre-gathered :class:`FoldBlocks`.
@@ -1696,6 +1767,18 @@ def ozaki_v3_from_blocks(config: CVConfig, state: FitState, blocks, stats5,
     Callers must have checked :func:`ozaki_v3_ok`. Returns raw
     (F, 2, Kp, Cp) double-float pairs.
     """
+    ops = ozaki_operands_from_blocks(config, state, blocks, stats5,
+                                     return_XTY=return_XTY)
+    return ozaki_v3_run(config, ops, ops.sa, ops.sb_rev, ops.sxv, ops.yvec,
+                        ops.scal, return_XTY=return_XTY,
+                        interpret=interpret)
+
+
+def ozaki_operands_from_blocks(config: CVConfig, state: FitState, blocks,
+                               stats5, *, return_XTY: bool):
+    """Build :class:`OzakiBlockOperands` (see :func:`ozaki_v3_from_blocks`
+    for the slicing/accuracy rationale — this is its operand phase, split
+    out so hoisted sweeps build once and slice per chunk)."""
     from ..ops.precise import row_slice_operands
 
     f64 = jnp.float64
@@ -1781,22 +1864,8 @@ def ozaki_v3_from_blocks(config: CVConfig, state: FitState, blocks, stats5,
     )
 
     total2 = _total_planes(state, True, return_XTY, kp, cp, presplit=False)
-    bt_sym = loocv_sym_tile(kp) if _sym_enabled() else None
-    kern = (
-        kernels.fused_ozaki_downdate_v3 if bt_sym is None
-        else functools.partial(kernels.fused_ozaki_downdate_v3_sym,
-                               bt=bt_sym)
-    )
-    return kern(
-        total2, sa, sb_rev, pa, pb, gx, sxv, yvec, ymask, scal,
-        center_xtx=config.center_X,
-        center_xty=config.center_X or config.center_Y,
-        scale_x=config.scale_X,
-        scale_y=config.scale_Y,
-        with_y=return_XTY,
-        resolution=config.resolution,
-        interpret=interpret,
-    )
+    return OzakiBlockOperands(total2, sa, sb_rev, pa, pb, gx, sxv, yvec,
+                              ymask, scal, lp)
 
 
 def loocv_sources_from_blocks(config: CVConfig, state: FitState, blocks,

@@ -207,9 +207,11 @@ def _reduce_sweep_impl(config, return_XTX, return_XTY, impl, reduce_fn,
         _hoisted_operand_bytes,
         _padded_dims,
         _total_planes,
+        _v3_hoist_bytes,
         LARGE_FOLD_ROWS,
         large_fold_threshold,
         loocv_single_tile_ok,
+        ozaki_v3_ok,
         training_matrices_batched,
     )
 
@@ -252,6 +254,27 @@ def _reduce_sweep_impl(config, return_XTX, return_XTY, impl, reduce_fn,
     ):
         return _smallfold_reduce_loop(
             config, state, idx_c, mask_c, reduce_fn, return_XTX, return_XTY,
+        )
+
+    # Mid-band fast path (L >= threshold, v3-eligible): hoist the dataset
+    # slice planes + per-fold vector streams ONCE (the materialize sweep's
+    # _v3_sweep_loop structure) and add a hoisted stats pass for reduce_fn;
+    # the generic body below instead re-slices every chunk's rows through
+    # the untrimmed exact contraction — the per-chunk prep the round-4
+    # mid-band diag measured.
+    if (
+        impl in ("auto", "pallas")
+        and jax.default_backend() == "tpu"
+        and np.dtype(config.dtype).itemsize == 8
+        and return_XTX
+        and n_l >= large_fold_threshold(config, state, return_XTX,
+                                        return_XTY)
+        and ozaki_v3_ok(config, state, return_XTX, return_XTY, n_l)
+        and _v3_hoist_bytes(state, idx_c.shape[0] * idx_c.shape[1],
+                            n_l) <= _HOIST_BUDGET_BYTES
+    ):
+        return _v3_reduce_loop(
+            config, state, idx_c, mask_c, reduce_fn, return_XTY,
         )
 
     # Hoist the kernel's padded total planes out of the chunk loop: built
@@ -354,6 +377,69 @@ def _loocv_reduce_loop(config, state, idx_c, reduce_fn, return_XTY,
         )(ci[:, None])
         stats5 = stats_from_blocks(config, state, blocks, True, return_XTY)
         return carry, jax.vmap(reduce_fn)(mats, stats5[:4])
+
+    _, red = jax.lax.scan(
+        body, None, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return red
+
+
+def _v3_reduce_loop(config, state, idx_c, mask_c, reduce_fn, return_XTY,
+                    interpret=False):
+    """Hoisted-source mid-band reduce sweep (v3 fused Ozaki kernel).
+
+    The reduce counterpart of :func:`_v3_sweep_loop`: dataset slice planes
+    and per-fold vector streams built ONCE (:func:`prepare_ozaki_sources`),
+    plus one hoisted gather+stats pass for the streams ``reduce_fn``
+    consumes; the scan body is a fused row gather + the prefix-stack MXU
+    kernel + pair conversion + reduction.
+    """
+    from ..core.batch import (
+        _gather_and_stats,
+        ozaki_v3_from_sources,
+        prepare_ozaki_sources,
+    )
+    from ..ops.df64 import df_to_f64
+
+    n_chunks, bs, n_l = idx_c.shape
+    idx = idx_c.reshape(n_chunks * bs, n_l)
+    mask = None if mask_c is None else mask_c.reshape(n_chunks * bs, n_l)
+    src = prepare_ozaki_sources(
+        config, state, idx, mask, return_XTX=True, return_XTY=return_XTY,
+    )
+    _, stats5 = _gather_and_stats(config, state, idx, mask, True,
+                                  return_XTY)
+    stats = stats5[:4]
+    k = state.K
+    m = (state.M or 0) if return_XTY else 0
+    c = k + m
+    lp = src.lp
+    rows_flat = src.idx.reshape(-1).astype(jnp.int32)
+    mask_flat = (
+        None if src.mask2d is None
+        else src.mask2d.reshape(-1).astype(jnp.float32)
+    )
+
+    def body(carry, ci):
+        r0 = ci * (bs * lp)
+        rows = jax.lax.dynamic_slice_in_dim(rows_flat, r0, bs * lp, 0)
+        mk = (
+            None if mask_flat is None
+            else jax.lax.dynamic_slice_in_dim(mask_flat, r0, bs * lp, 0)
+        )
+        sx = jax.lax.dynamic_slice_in_dim(src.sxv, ci * bs, bs, 0)
+        sc = jax.lax.dynamic_slice_in_dim(src.scal, ci * bs, bs, 0)
+        yv = jax.lax.dynamic_slice_in_dim(src.yvec, ci * bs, bs, 0)
+        pair = ozaki_v3_from_sources(
+            config, src, rows, mk, sx, sc, yv, return_XTY=return_XTY,
+            interpret=interpret,
+        )
+        out = df_to_f64(pair[:, 0, :k, :c], pair[:, 1, :k, :c])
+        mats = (out[:, :, :k], out[:, :, k:]) if return_XTY else out
+        st_c = jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, ci * bs, bs, 0), stats
+        )
+        return carry, jax.vmap(reduce_fn)(mats, st_c)
 
     _, red = jax.lax.scan(
         body, None, jnp.arange(n_chunks, dtype=jnp.int32)

@@ -581,14 +581,34 @@ def sharded_cross_validate_reduce(
             large_fold_threshold(config, state, return_XTX, return_XTY)
             if np.dtype(config.dtype).itemsize == 8 else LARGE_FOLD_ROWS
         )
+        mask_arr = (
+            None if mask_batch is None
+            else jnp.asarray(mask_batch, config.dtype)
+        )
         if n_l < threshold and _hoisted_operand_bytes(
             state, -(-n_folds // n_dev), n_l, return_XTX, return_XTY
         ) <= _HOIST_BUDGET_BYTES:
-            return _sharded_smallfold_reduce(
-                config, state, mesh, idx,
-                None if mask_batch is None
-                else jnp.asarray(mask_batch, config.dtype),
+            return _sharded_hoisted_reduce(
+                config, state, mesh, idx, mask_arr,
                 reduce_fn, batch_size // n_dev, n_folds,
+                _smallfold_program,
+                return_XTX=return_XTX, return_XTY=return_XTY,
+                interpret=interpret,
+            )
+        from ..core.batch import _v3_blocks_hoist_bytes, ozaki_v3_ok
+
+        if (
+            n_l >= threshold
+            and np.dtype(config.dtype).itemsize == 8
+            and return_XTX
+            and ozaki_v3_ok(config, state, return_XTX, return_XTY, n_l)
+            and _v3_blocks_hoist_bytes(
+                state, -(-n_folds // n_dev), n_l) <= _HOIST_BUDGET_BYTES
+        ):
+            return _sharded_hoisted_reduce(
+                config, state, mesh, idx, mask_arr,
+                reduce_fn, batch_size // n_dev, n_folds,
+                _sharded_v3_program,
                 return_XTX=return_XTX, return_XTY=return_XTY,
                 interpret=interpret,
             )
@@ -875,19 +895,21 @@ def _loocv_identity_program(config, mesh, names, weighted, is_f64, k, m,
     )
 
 
-def _sharded_smallfold_reduce(
+def _sharded_hoisted_reduce(
     config, state, mesh, idx, mask, reduce_fn, bs_local_target, n_folds,
-    *, return_XTX, return_XTY, interpret,
+    program, *, return_XTX, return_XTY, interpret,
 ):
-    """Hoisted-prep mesh reduce sweep for small folds (L below threshold).
+    """Hoisted-prep mesh reduce sweep (small-fold packed or mid-band v3).
 
     Folds are block-distributed: device ``d`` owns folds
     ``[d*F_loc, (d+1)*F_loc)``. ONE mask-and-reduce-scatter collective
     delivers every fold's validation rows to its owner, then each device
-    mirrors :func:`models.sweep._smallfold_reduce_loop`: operands and
-    stats prepared once from the gathered blocks, a scan of
-    slice + packed-kernel + reduce steps. Outputs return device-major and
-    are re-indexed to the caller's fold order here.
+    mirrors the single-chip hoisted reduce loops: operands and stats
+    prepared once from the gathered blocks, a scan of
+    slice + fused-kernel + reduce steps. ``program`` selects the kernel
+    route (:func:`_smallfold_program` below the MXU threshold,
+    :func:`_sharded_v3_program` for v3-eligible mid-band folds). Outputs
+    return device-major and are re-indexed to the caller's fold order.
     """
     n_dev = mesh.shape[ROWS]
     f_loc = -(-n_folds // n_dev)
@@ -907,7 +929,7 @@ def _sharded_smallfold_reduce(
     shard_rows = state.X.shape[0] // n_dev
     sources = _gather_sources(config, state, return_XTY)
     globals_only = _globals_only(config, state)
-    red = _smallfold_program(
+    red = program(
         config, mesh, tuple(sources.keys()), state.weights is not None,
         np.dtype(config.dtype).itemsize == 8, return_XTX, return_XTY,
         interpret, shard_rows, f_loc, bs_local, n_chunks,
@@ -995,6 +1017,84 @@ def _smallfold_program(config, mesh, names, weighted, is_f64, return_XTX,
     )
 
 
+@lru_cache(maxsize=64)
+def _sharded_v3_program(config, mesh, names, weighted, is_f64, return_XTX,
+                        return_XTY, interpret, shard_rows, f_loc, bs_local,
+                        n_chunks, reduce_key, reduce_carrier):
+    """Mid-band (v3 fused Ozaki) twin of :func:`_smallfold_program`: the
+    gathered blocks are sliced to int8 prefix-stack operands ONCE per
+    device (:func:`core.batch.ozaki_operands_from_blocks`), and the chunk
+    scan is a contiguous slice + the v3 kernel + reduce."""
+    reduce_fn = reduce_carrier.value
+    from ..core.batch import (
+        ozaki_operands_from_blocks,
+        ozaki_v3_run,
+        stats_from_blocks,
+    )
+    from ..ops.df64 import df_to_f64
+
+    split64 = next(iter(mesh.devices.flat)).platform == "tpu"
+    single = mesh.shape[ROWS] == 1
+
+    def body(srcs, st, ia, ma):
+        gathered = _local_gather_scatter(srcs, ia, shard_rows,
+                                         split64=split64, single_dev=single)
+        d = jax.lax.axis_index(ROWS)
+        my_mask = (
+            None if ma is None
+            else jax.lax.dynamic_slice_in_dim(ma, d * f_loc, f_loc, 0)
+        )
+        blocks = _blocks_from_gathered(config, weighted, gathered, my_mask,
+                                       return_XTY)
+        stats5 = stats_from_blocks(config, st, blocks, return_XTX,
+                                   return_XTY)
+        ops = ozaki_operands_from_blocks(config, st, blocks, stats5,
+                                         return_XTY=return_XTY)
+        stats = stats5[:4]
+        k = st.K
+        m = (st.M or 0) if return_XTY else 0
+        c = k + m
+        lp = ops.lp
+
+        def step(carry, ci):
+            r0 = ci * (bs_local * lp)
+            sa = jax.lax.dynamic_slice_in_dim(ops.sa, r0, bs_local * lp, 1)
+            sb = jax.lax.dynamic_slice_in_dim(ops.sb_rev, r0,
+                                              bs_local * lp, 1)
+            sx = jax.lax.dynamic_slice_in_dim(ops.sxv, ci * bs_local,
+                                              bs_local, 0)
+            yv = jax.lax.dynamic_slice_in_dim(ops.yvec, ci * bs_local,
+                                              bs_local, 0)
+            sc = jax.lax.dynamic_slice_in_dim(ops.scal, ci * bs_local,
+                                              bs_local, 0)
+            pair = ozaki_v3_run(config, ops, sa, sb, sx, yv, sc,
+                                return_XTY=return_XTY, interpret=interpret)
+            out = df_to_f64(pair[:, 0, :k, :c], pair[:, 1, :k, :c])
+            mats = (
+                (out[:, :, :k], out[:, :, k:]) if return_XTY else out
+            )
+            st_c = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(
+                    a, ci * bs_local, bs_local, 0),
+                stats,
+            )
+            return carry, jax.vmap(reduce_fn)(mats, st_c)
+
+        _, red = jax.lax.scan(
+            step, None, jnp.arange(n_chunks, dtype=jnp.int32)
+        )
+        return red
+
+    return jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=({k_: P(ROWS, None) for k_ in names}, P(), P(), P()),
+            out_specs=P(None, ROWS),
+            check_vma=False,
+        )
+    )
+
+
 # Routing-policy hooks: set_routing re-traces the mesh programs (the
 # kernel route is baked in at trace time).
 _register_routing_cache(_sharded_fit_program)
@@ -1003,3 +1103,4 @@ _register_routing_cache(_fold_math_program)
 _register_routing_cache(_reduce_program_cached)
 _register_routing_cache(_loocv_identity_program)
 _register_routing_cache(_smallfold_program)
+_register_routing_cache(_sharded_v3_program)

@@ -462,3 +462,43 @@ def test_mesh_large_folds_stay_generic(mesh):
         impl="pallas", interpret=True,
     )
     assert D._smallfold_program.cache_info().misses == m0
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_mesh_v3_hoisted_path(mesh, masked):
+    """Mid-band (L >= threshold, v3-eligible) folds with the Pallas impl
+    dispatch to the per-device hoisted v3 program and match the generic
+    xla mesh path — including padded-row masks."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.core.batch import large_fold_threshold
+    from cvmatrix_tpu.parallel import distributed as D
+
+    cfg = CVConfig(True, True, True, True, 1)
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, WEIGHTS)
+    L = large_fold_threshold(cfg, st, True, True)
+    rng = np.random.default_rng(13)
+    idx = np.stack([rng.permutation(X_ALL.shape[0])[:L] for _ in range(11)])
+    mk = None
+    if masked:
+        mk = (rng.random((11, L)) > 0.25).astype(np.float64)
+        mk[:, 0] = 1.0
+
+    def reduce_fn(mats, stats):
+        return jnp.trace(mats[0]) + jnp.sum(mats[1]) + jnp.sum(stats[0])
+
+    # mask presence retraces inside the jitted program, not the builder —
+    # count builder CALLS (hits + misses), not misses alone.
+    i0 = D._sharded_v3_program.cache_info()
+    c0 = i0.hits + i0.misses
+    red = sharded_cross_validate_reduce(
+        cfg, st, idx, mk, mesh=mesh, reduce_fn=reduce_fn, batch_size=16,
+        impl="pallas", interpret=True,
+    )
+    i1 = D._sharded_v3_program.cache_info()
+    assert i1.hits + i1.misses == c0 + 1
+    ref = sharded_cross_validate_reduce(
+        cfg, st, idx, mk, mesh=mesh, reduce_fn=reduce_fn, batch_size=16,
+        impl="xla",
+    )
+    assert_allclose(np.asarray(red), np.asarray(ref), rtol=1e-5, atol=1e-2)

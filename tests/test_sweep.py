@@ -488,3 +488,39 @@ def test_smallfold_reduce_loop_wiring(use_w, dtype):
                             np.asarray(ry)[:, 0], **tol)
             assert_allclose(np.asarray(out["sX"][c, i]),
                             np.asarray(rstats[1]), **tol)
+
+
+def test_v3_reduce_loop_wiring():
+    """Mid-band hoisted v3 reduce fast path (dataset slice planes + fused
+    Ozaki kernel + hoisted stats), interpret mode on CPU: operand WIRING
+    at loose tolerance vs the per-fold eager engine."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.core.batch import large_fold_threshold, ozaki_v3_ok
+    from cvmatrix_tpu.models.sweep import _v3_reduce_loop
+
+    cfg = CVConfig(True, True, True, True, 1)
+    st = fit(cfg, X_ALL[:, :5], Y_ALL, WEIGHTS)
+    L = large_fold_threshold(cfg, st, True, True)
+    assert ozaki_v3_ok(cfg, st, True, True, L)
+    ref = CVMatrix().fit(X_ALL[:, :5], Y_ALL, WEIGHTS)
+    rng = np.random.default_rng(6)
+    idx = np.stack([rng.permutation(X_ALL.shape[0])[:L] for _ in range(8)])
+    idx_c = jnp.asarray(idx.reshape(2, 4, L))
+
+    def reduce_fn(mats, stats):
+        xtx, xty = mats
+        return {"tr": jnp.trace(xtx), "y0": xty[:, 0], "mX": stats[0]}
+
+    out = _v3_reduce_loop(cfg, st, idx_c, None, reduce_fn, True,
+                          interpret=True)
+    tol = dict(rtol=1e-3, atol=1e-1)
+    for c in range(2):
+        for i in range(4):
+            (rx, ry), rstats = ref.training_XTX_XTY(idx[c * 4 + i])
+            assert_allclose(float(out["tr"][c, i]), float(np.trace(rx)),
+                            **tol)
+            assert_allclose(np.asarray(out["y0"][c, i]),
+                            np.asarray(ry)[:, 0], **tol)
+            assert_allclose(np.asarray(out["mX"][c, i]),
+                            np.asarray(rstats[0]), **tol)
