@@ -54,4 +54,9 @@ run mesh1 9000 env BENCH_PS=1000,10000,100000 python benchmarks/mesh_one_chip.py
 # Clean-window cold-AOT re-measure (fresh process, artifact present).
 run bench_cold_aot2 1800 env BENCH_PHASES=0 python bench.py
 
+# Compiler memory accounting for the wide-K programs (runtime
+# memory_stats() is unavailable on axon; compiles hit the persistent
+# cache from the phase-D widek run).
+run widek_memstats 3600 python benchmarks/widek_memstats.py
+
 echo "=== ALL DONE $(date)"
