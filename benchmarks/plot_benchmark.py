@@ -49,12 +49,21 @@ def latest_per_config(df, warn=True):
         .groupby(key, dropna=False, as_index=False)
         .last()
     )
-    dates = sorted(d for d in picked["_date"].unique() if d)
+    # Baseline anchors (the naive oracle: host NumPy recompute of the
+    # reference semantics) are version-independent by construction — their
+    # timings do not move with the package under measurement, so an older
+    # date there is not staleness. The warning exists to catch figures
+    # silently blending stale FAST-ENGINE rounds.
+    engine = ~picked["model"].astype(str).str.startswith("NaiveOracle")
+    dates = sorted(d for d in picked.loc[engine, "_date"].unique() if d)
     if warn and len(dates) > 1:
+        n_stale = int(
+            (picked.loc[engine, "_date"] != dates[-1]).sum()
+        )
         print(
             f"latest_per_config: figure mixes measurement dates {dates} — "
-            f"{int((picked['_date'] != dates[-1]).sum())} of {len(picked)} "
-            "configs were not re-measured on the newest date",
+            f"{n_stale} of {int(engine.sum())} engine configs were not "
+            "re-measured on the newest date",
             file=sys.stderr,
         )
     return picked.drop(columns=["_order", "_date"])
