@@ -524,3 +524,37 @@ def test_v3_reduce_loop_wiring():
                             np.asarray(ry)[:, 0], **tol)
             assert_allclose(np.asarray(out["mX"][c, i]),
                             np.asarray(rstats[0]), **tol)
+
+
+def test_v3_reduce_loop_masked_wiring():
+    """Masked fold batches through the single-chip hoisted v3 reduce loop:
+    masked rows must contribute exactly nothing (vs eager with the same
+    mask)."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.core.batch import large_fold_threshold
+    from cvmatrix_tpu.core.fold import training_matrices
+    from cvmatrix_tpu.models.sweep import _v3_reduce_loop
+
+    cfg = CVConfig(True, True, True, True, 1)
+    st = fit(cfg, X_ALL[:, :5], Y_ALL, WEIGHTS)
+    L = large_fold_threshold(cfg, st, True, True)
+    rng = np.random.default_rng(8)
+    idx = np.stack([rng.permutation(X_ALL.shape[0])[:L] for _ in range(4)])
+    mk = (rng.random((4, L)) > 0.3).astype(np.float64)
+    mk[:, 0] = 1.0
+    idx_c = jnp.asarray(idx.reshape(2, 2, L))
+    mk_c = jnp.asarray(mk.reshape(2, 2, L))
+
+    def reduce_fn(mats, stats):
+        return jnp.trace(mats[0]) + jnp.sum(mats[1])
+
+    out = _v3_reduce_loop(cfg, st, idx_c, mk_c, reduce_fn, True,
+                          interpret=True)
+    for c in range(2):
+        for i in range(2):
+            f = c * 2 + i
+            (rx, ry), _ = training_matrices(
+                cfg, st, idx[f], mk[f], return_XTX=True, return_XTY=True)
+            want = float(np.trace(np.asarray(rx)) + np.sum(np.asarray(ry)))
+            assert_allclose(float(out[c, i]), want, rtol=1e-3, atol=1e-1)
