@@ -67,7 +67,10 @@ def main():
 
     def probe_reduce(mats, stats):
         xtx, xty = mats
-        return xtx.reshape(-1)[0] + xty.reshape(-1)[0]
+        # Index, don't reshape: reshape(-1) of a sliced matrix forces a
+        # per-fold copy (+0.85 s at P=1e5 — benchmarks/reduce_decomp.json),
+        # which inflated the recorded reduce legs by ~2x in earlier rounds.
+        return xtx[0, 0] + xty[0, 0]
 
     # One chunk geometry for both reduce legs (the mesh auto-sizer picks
     # ~1000 at the bench shape; cross_validate_reduce defaults to 512 —
