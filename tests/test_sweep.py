@@ -391,6 +391,16 @@ def test_reduce_sweep_cache_survives_fresh_lambdas():
     # in the 340-test run). GC stays OFF for the whole measurement window.
     import gc
 
+    # Pin the MECHANISM first (jax-internals-free): the static-arg key for
+    # fresh-but-identical lambdas must compare/hash equal, and a different
+    # closure value must produce a different key.
+    def make(scale):
+        return S._HashableFn(lambda mats, stats: mats[0].trace() * scale)
+
+    k1, k2, k3 = make(1.0), make(1.0), make(2.0)
+    assert k1 == k2 and hash(k1) == hash(k2)
+    assert k1 != k3
+
     S._reduce_sweep_jit.clear_cache()
     gc.collect()
     gc.disable()
@@ -398,11 +408,18 @@ def test_reduce_sweep_cache_survives_fresh_lambdas():
         a = call(1.0)
         n0 = S._reduce_sweep_jit._cache_size()
         b = call(1.0)  # fresh lambda, same code + closure -> cache hit
-        assert S._reduce_sweep_jit._cache_size() == n0
+        nb = S._reduce_sweep_jit._cache_size()
         assert_allclose(np.asarray(a), np.asarray(b))
         c = call(2.0)  # different closure value -> different program
-        assert S._reduce_sweep_jit._cache_size() == n0 + 1
+        nc = S._reduce_sweep_jit._cache_size()
         assert_allclose(np.asarray(c), 2.0 * np.asarray(a))
+        # pjit's _cache_size() reports -1 once the function has caches
+        # under more than one jax config state (other tests call the
+        # module-level jit under different contexts in the full suite) —
+        # the counter assertions only mean something when it counts.
+        if min(n0, nb, nc) >= 0:
+            assert nb == n0, "identical lambda recompiled the sweep"
+            assert nc == n0 + 1, "different closure aliased a program"
     finally:
         gc.enable()
 
