@@ -624,6 +624,10 @@ def _df64x2_enabled() -> bool:
     return _policy().df64x2
 
 
+def _hoist_reduce_enabled() -> bool:
+    return _policy().hoist_reduce
+
+
 def loocv_sym_tile(kp: int):
     """Tile size for the symmetric-mirror LOOCV kernel, or None.
 

@@ -204,6 +204,7 @@ def _reduce_sweep_impl(config, return_XTX, return_XTY, impl, reduce_fn,
                        state, idx_c, mask_c):
     from ..core.batch import (
         _HOIST_BUDGET_BYTES,
+        _hoist_reduce_enabled,
         _hoisted_operand_bytes,
         _padded_dims,
         _total_planes,
@@ -243,6 +244,7 @@ def _reduce_sweep_impl(config, return_XTX, return_XTY, impl, reduce_fn,
     if (
         impl in ("auto", "pallas")
         and jax.default_backend() == "tpu"
+        and _hoist_reduce_enabled()
         and np.dtype(config.dtype).itemsize in (4, 8)
         and n_l < (
             large_fold_threshold(config, state, return_XTX, return_XTY)
@@ -265,6 +267,7 @@ def _reduce_sweep_impl(config, return_XTX, return_XTY, impl, reduce_fn,
     if (
         impl in ("auto", "pallas")
         and jax.default_backend() == "tpu"
+        and _hoist_reduce_enabled()
         and np.dtype(config.dtype).itemsize == 8
         and return_XTX
         and n_l >= large_fold_threshold(config, state, return_XTX,

@@ -571,6 +571,7 @@ def sharded_cross_validate_reduce(
     ):
         from ..core.batch import (
             _HOIST_BUDGET_BYTES,
+            _hoist_reduce_enabled,
             _hoisted_operand_bytes,
             LARGE_FOLD_ROWS,
             large_fold_threshold,
@@ -585,7 +586,7 @@ def sharded_cross_validate_reduce(
             None if mask_batch is None
             else jnp.asarray(mask_batch, config.dtype)
         )
-        if n_l < threshold and _hoisted_operand_bytes(
+        if _hoist_reduce_enabled() and n_l < threshold and _hoisted_operand_bytes(
             state, -(-n_folds // n_dev), n_l, return_XTX, return_XTY
         ) <= _HOIST_BUDGET_BYTES:
             return _sharded_hoisted_reduce(
@@ -598,7 +599,8 @@ def sharded_cross_validate_reduce(
         from ..core.batch import _v3_blocks_hoist_bytes, ozaki_v3_ok
 
         if (
-            n_l >= threshold
+            _hoist_reduce_enabled()
+            and n_l >= threshold
             and np.dtype(config.dtype).itemsize == 8
             and return_XTX
             and ozaki_v3_ok(config, state, return_XTX, return_XTY, n_l)

@@ -56,6 +56,11 @@ class RoutingPolicy:
     df64x2: bool = False
     batch_syrk: bool = False
     ozaki_budget_log2: int = -31
+    # Hoist reduce-sweep operand/stat preparation out of the chunk loop
+    # (packed small-fold and v3 mid-band routes, single-chip and mesh).
+    # Default on; the off position exists to A/B the hoist against the
+    # per-chunk generic body.
+    hoist_reduce: bool = True
 
 
 def _env_policy() -> RoutingPolicy:
@@ -72,6 +77,7 @@ def _env_policy() -> RoutingPolicy:
         batch_syrk=flag("CVMATRIX_TPU_BATCH_SYRK", base.batch_syrk),
         ozaki_budget_log2=int(os.environ.get(
             "CVMATRIX_TPU_OZAKI_BUDGET_LOG2", base.ozaki_budget_log2)),
+        hoist_reduce=flag("CVMATRIX_TPU_HOIST_REDUCE", base.hoist_reduce),
     )
 
 

@@ -502,3 +502,39 @@ def test_mesh_v3_hoisted_path(mesh, masked):
         impl="xla",
     )
     assert_allclose(np.asarray(red), np.asarray(ref), rtol=1e-5, atol=1e-2)
+
+
+def test_hoist_reduce_knob_routes_generic(mesh):
+    """set_routing(hoist_reduce=False) must send small-L folds down the
+    generic per-chunk mesh body instead of the hoisted program (the A/B
+    knob for the round-5 hoisted reduce sweeps)."""
+    import jax.numpy as jnp
+
+    from cvmatrix_tpu.parallel import distributed as D
+    from cvmatrix_tpu.policy import policy, set_routing
+
+    cfg = CVConfig(True, True, True, True, 1)
+    st = fit_sharded(cfg, mesh, X_ALL, Y_ALL, WEIGHTS)
+    rng = np.random.default_rng(21)
+    idx = np.stack([rng.permutation(X_ALL.shape[0])[:5] for _ in range(8)])
+
+    def reduce_fn(mats, stats):
+        return jnp.trace(mats[0])
+
+    base = policy()
+    try:
+        set_routing(hoist_reduce=False)
+        i0 = D._smallfold_program.cache_info()
+        off = sharded_cross_validate_reduce(
+            cfg, st, idx, mesh=mesh, reduce_fn=reduce_fn, batch_size=8,
+            impl="pallas", interpret=True,
+        )
+        i1 = D._smallfold_program.cache_info()
+        assert (i1.hits + i1.misses) == (i0.hits + i0.misses)
+    finally:
+        set_routing(hoist_reduce=base.hoist_reduce)
+    on = sharded_cross_validate_reduce(
+        cfg, st, idx, mesh=mesh, reduce_fn=reduce_fn, batch_size=8,
+        impl="pallas", interpret=True,
+    )
+    assert_allclose(np.asarray(off), np.asarray(on), rtol=1e-5, atol=1e-2)
